@@ -1,0 +1,170 @@
+"""Deterministic synthetic web-pages corpus (the BASELINE.json input table).
+
+Schema per ``input_hint``: ``(url: string, warc_ts: timestamp[us],
+html: binary, text: string, lang: string)``. Content follows FIXTURES.md F1/F5
+— Portuguese legal sentence templates instantiated from the config gazetteers,
+seed-fixed (numpy ``default_rng([42, shard])`` per shard so any shard can be
+regenerated independently), HTML rendered so extraction is byte-exact
+(functions/html.py). ~4/7 of pages are ``lang == "pt"``; non-pt pages carry
+entity-free filler and exercise the lineage-preserving language gate.
+
+A deliberate skew knob makes "Ministério Público" the hot entity (~50% of
+ORG draws in one template), per SURVEY.md §5 skew test.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import FIRST_NAMES, LAST_NAMES, LOCS, ORGS, PT_MONTHS
+from .functions.html import render_html
+from .functions.normalize import normalize_surface
+
+# bump to invalidate cached corpora + goldens under /tmp
+CORPUS_VERSION = "v3"
+
+LANG_CYCLE = ["pt", "pt", "pt", "en", "es", "de", "fr"]
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+_FILLER_NON_PT = [
+    "The court convened and issued a ruling on the pending matter.",
+    "Further proceedings are scheduled for the next judicial term.",
+    "El documento fue archivado sin efectos adicionales.",
+    "Das Verfahren wurde ohne weitere Anordnung eingestellt.",
+    "La procédure a été close sans autre mesure.",
+]
+_FILLER_PT = [
+    "Nos termos do artigo anterior, o presente documento produz efeitos imediatos.",
+    "O presente acórdão transitou em julgado nos termos legais.",
+    "   O tribunal reuniu em sessão plenária.   ",  # strip() edge case
+]
+
+
+def _email(first: str, last: str) -> str:
+    return f"{normalize_surface(first)}.{normalize_surface(last)}@exemplo.pt"
+
+
+def _pt_paragraph(rng: np.random.Generator) -> str:
+    """One Portuguese paragraph from the F5 template pool."""
+    t = int(rng.integers(0, 9))
+    first = FIRST_NAMES[int(rng.integers(0, len(FIRST_NAMES)))]
+    last = LAST_NAMES[int(rng.integers(0, len(LAST_NAMES)))]
+    per = f"{first} {last}"
+    # hot-entity skew: half of the ORG draws in templates 4/5 are the hot org
+    if t in (4, 5) and rng.random() < 0.5:
+        org = "Ministério Público" if rng.random() < 0.7 else "Ministerio Publico"
+    else:
+        org = ORGS[int(rng.integers(0, len(ORGS)))]
+    loc = LOCS[int(rng.integers(0, len(LOCS)))]
+    d, m, y = int(rng.integers(1, 29)), int(rng.integers(1, 13)), int(rng.integers(1990, 2025))
+    dat_slash = f"{d:02d}/{m:02d}/{y}"
+    dat_long = f"{d} de {PT_MONTHS[m - 1]} de {y}"
+    idp = f"{int(rng.integers(100, 999999))}/{y}"
+    cep = f"{int(rng.integers(1000, 9999))}-{int(rng.integers(100, 999)):03d}"
+    mat = (
+        chr(65 + int(rng.integers(0, 26))) + chr(65 + int(rng.integers(0, 26)))
+        + f"-{int(rng.integers(10, 99))}-"
+        + chr(65 + int(rng.integers(0, 26))) + chr(65 + int(rng.integers(0, 26)))
+    )
+    tel = f"9{int(rng.integers(10000000, 99999999))}"
+    if t == 0:
+        return f"O processo número {idp} do réu {per} foi julgado em {dat_slash}."
+    if t == 1:
+        return (f"{per}, residente na Rua das Flores, {cep} {loc}, "
+                f"contactável através do email {_email(first, last)}.")
+    if t == 2:
+        return f"O {org} decidiu sobre o caso com matrícula {mat} em {dat_long}."
+    if t == 3:
+        return f"A empresa {org} está sediada no {loc} e foi fundada em {dat_long}."
+    if t == 4:
+        return f"{per} trabalha para o {org} desde {dat_long}."
+    if t == 5:
+        return f"O {org} notificou {per} em {dat_slash} através do contacto {tel}."
+    if t == 6:
+        return f"O réu {per} foi notificado em {loc}, em {dat_slash}."
+    if t == 7:
+        # standalone surname -> weak low-confidence PER (threshold exercise)
+        return f"O recurso apresentado por {last} foi indeferido."
+    return _FILLER_PT[int(rng.integers(0, len(_FILLER_PT)))]
+
+
+def gen_pages_shard(shard: int, start_idx: int, n: int) -> pa.Table:
+    """Deterministic shard of the web-pages table (pure function of args)."""
+    rng = np.random.default_rng([42, shard])
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for k in range(n):
+        i = start_idx + k
+        lang = LANG_CYCLE[i % len(LANG_CYCLE)]
+        n_paras = 1 + int(rng.integers(0, 8))
+        lines: list[str] = []
+        for _ in range(n_paras):
+            if lang == "pt":
+                lines.append(_pt_paragraph(rng))
+            else:
+                lines.append(_FILLER_NON_PT[int(rng.integers(0, len(_FILLER_NON_PT)))])
+            if rng.random() < 0.15:
+                lines.append("   " if rng.random() < 0.5 else "")  # dropped by splitter
+        text = "\n".join(lines)
+        urls.append(f"https://ex{i % 97}.pt/doc/{i}")
+        tss.append(EPOCH_US + i * 3_600_000_000)
+        htmls.append(render_html(text))
+        texts.append(text)
+        langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def pages_for_sf(sf: float) -> int:
+    return max(100, round(sf * 500_000))
+
+
+def shard_plan(n_pages: int, target_shard_rows: int = 1024) -> list[tuple[int, int, int]]:
+    """[(shard, start_idx, n_rows)] — at least 8 shards for resume tests."""
+    n_shards = max(8, -(-n_pages // target_shard_rows))
+    base = n_pages // n_shards
+    rem = n_pages % n_shards
+    plan, start = [], 0
+    for s in range(n_shards):
+        rows = base + (1 if s < rem else 0)
+        plan.append((s, start, rows))
+        start += rows
+    return plan
+
+
+def corpus_dir(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
+    return Path(root) / CORPUS_VERSION / f"sf{sf:g}"
+
+
+def ensure_webpages(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
+    """Write (once) the sharded web-pages parquet for a scale factor.
+
+    Returns the directory holding ``webpages/part-*.parquet``. Idempotent and
+    concurrency-safe via a DONE marker + atomic rename.
+    """
+    d = corpus_dir(sf, root)
+    done = d / "webpages" / "_DONE"
+    if done.exists():
+        return d
+    tmp = d / "webpages.tmp"
+    tmp.mkdir(parents=True, exist_ok=True)
+    for shard, start, n in shard_plan(pages_for_sf(sf)):
+        pq.write_table(gen_pages_shard(shard, start, n), tmp / f"part-{shard:05d}.parquet")
+    (tmp / "_DONE").write_text(CORPUS_VERSION)
+    final = d / "webpages"
+    try:
+        os.replace(tmp, final)
+    except OSError:
+        pass  # another process won the race; its output is identical
+    return d

@@ -1,0 +1,178 @@
+"""Deterministic surrogate NER tagger with reference-faithful BIO decoding.
+
+Plays the role of the reference's HF ``pipeline("ner",
+aggregation_strategy="simple")`` (reference src/inference.py:86-94) but with a
+gazetteer/regex model so the sandbox needs no GPU or network. The decode path
+mirrors HF "simple" aggregation semantics exactly (new group on ``B-`` or on a
+type change; group score = mean of member token scores; char span = first
+token start → last token end), then applies the reference's confidence filter
+``score >= threshold`` (src/inference.py:203) and span-validity filter
+``0 <= start < end <= len(text)`` (src/inference.py:209).
+
+This module is plain Python — shared verbatim by the single-process oracle
+and the Ray actor stage, so the parity tests exercise the distributed
+plumbing rather than model behavior (SURVEY.md §7 "pluggable tagger").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+from ..config import (
+    CONFIDENCE_THRESHOLD,
+    FIRST_NAMES,
+    LAST_NAMES,
+    LOCS,
+    ORGS,
+    PT_MONTHS,
+)
+
+# Word-level tokenizer: words or single punctuation marks, like a WordPiece
+# pre-tokenizer, so spans exclude adjacent punctuation (matching the golden
+# example INFERENCE_README.md:74 — "Lisboa," yields span end at the comma).
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[int, int]]:
+    """Return [(start, end)] char offsets of word/punct tokens."""
+    return [m.span() for m in _TOKEN_RE.finditer(text)]
+
+
+def surface_score(label: str, surface: str, weak: bool = False) -> float:
+    """Deterministic pseudo-confidence, stable across processes (md5-based).
+
+    Strong (gazetteer/regex) matches score in [0.50, 0.99] — including exact
+    0.50, which the reference *keeps* (``>=`` at src/inference.py:203).
+    Weak matches (ambiguous single surnames) score in [0.30, 0.50]; most are
+    filtered, a deterministic few land exactly on the 0.50 boundary —
+    exercising the confidence filter in both directions end-to-end.
+    """
+    h = int.from_bytes(hashlib.md5(f"{label}|{surface}".encode()).digest()[:4], "big")
+    if weak:
+        return 0.30 + (h % 21) / 100.0
+    return 0.50 + (h % 50) / 100.0
+
+
+def _alt(words: list[str]) -> str:
+    # longest-first so "Supremo Tribunal de Justiça" beats any prefix
+    return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+
+
+def build_patterns() -> list[tuple[str, re.Pattern, bool]]:
+    """(label, compiled_pattern, weak) in priority order; earlier wins overlaps."""
+    per = rf"(?:{_alt(FIRST_NAMES)}) (?:{_alt(LAST_NAMES)})"
+    months = "|".join(PT_MONTHS)
+    return [
+        ("E-MAIL", re.compile(r"\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"), False),
+        ("CEP", re.compile(r"\b\d{4}-\d{3}\b"), False),
+        ("MAT", re.compile(r"\b[A-Z]{2}-\d{2}-[A-Z]{2}\b"), False),
+        ("TEL", re.compile(r"\+351 \d{3} \d{3} \d{3}|\b9\d{8}\b"), False),
+        ("DAT", re.compile(rf"\b\d{{2}}/\d{{2}}/\d{{4}}\b|\b\d{{1,2}} de (?:{months}) de \d{{4}}\b"), False),
+        ("IDP", re.compile(r"\b\d{3,6}/\d{4}\b"), False),
+        ("ORG", re.compile(rf"\b(?:{_alt(ORGS)})\b"), False),
+        ("PER", re.compile(rf"\b{per}\b"), False),
+        ("LOC", re.compile(rf"\b(?:{_alt(LOCS)})\b"), False),
+        # ambiguous standalone surname -> low-confidence PER (mostly filtered)
+        ("PER", re.compile(rf"\b(?:{_alt(LAST_NAMES)})\b"), True),
+    ]
+
+
+@dataclass(frozen=True)
+class Span:
+    start: int
+    end: int
+    label: str
+    score: float
+
+
+class RegexGazetteerTagger:
+    """Token-level BIO tagger + "simple"-aggregation decoder.
+
+    ``__init__`` compiles all patterns once (per actor, in the Ray stage);
+    ``tag_paragraph`` is the per-record hot path.
+    """
+
+    def __init__(self, confidence_threshold: float = CONFIDENCE_THRESHOLD):
+        self.patterns = build_patterns()
+        self.threshold = confidence_threshold
+
+    # -- token-level tagging -------------------------------------------------
+    def _token_tags(
+        self, text: str, offsets: list[tuple[int, int]]
+    ) -> tuple[list[str], list[float]]:
+        tags = ["O"] * len(offsets)
+        scores = [0.0] * len(offsets)
+        taken = [False] * len(offsets)
+        for label, pat, weak in self.patterns:
+            for m in pat.finditer(text):
+                ms, me = m.span()
+                cover = [
+                    i for i, (ts, te) in enumerate(offsets) if ts < me and te > ms
+                ]
+                if not cover or any(taken[i] for i in cover):
+                    continue  # earlier (higher-priority) match keeps the tokens
+                sc = surface_score(label, m.group(), weak)
+                for k, i in enumerate(cover):
+                    taken[i] = True
+                    tags[i] = ("B-" if k == 0 else "I-") + label
+                    scores[i] = sc
+        return tags, scores
+
+    # -- HF "simple" aggregation decode --------------------------------------
+    @staticmethod
+    def decode_simple(
+        offsets: list[tuple[int, int]], tags: list[str], scores: list[float]
+    ) -> list[Span]:
+        """Group consecutive B-/I- tokens of one type into char spans.
+
+        Faithful to transformers' ``aggregation_strategy="simple"`` as invoked
+        by the reference (src/inference.py:86-94): a new group starts on
+        ``B-`` or when the entity type changes; an ``I-`` without a matching
+        open group also starts one; group score = mean of token scores.
+        """
+        spans: list[Span] = []
+        cur: list[int] | None = None  # token indices of the open group
+        cur_type = ""
+
+        def close():
+            nonlocal cur
+            if cur is not None:
+                s = offsets[cur[0]][0]
+                e = offsets[cur[-1]][1]
+                sc = sum(scores[i] for i in cur) / len(cur)
+                spans.append(Span(s, e, cur_type, sc))
+                cur = None
+
+        for i, tag in enumerate(tags):
+            if tag == "O":
+                close()
+                continue
+            prefix, etype = tag.split("-", 1)
+            if prefix == "B" or cur is None or etype != cur_type:
+                close()
+                cur = [i]
+                cur_type = etype
+            else:
+                cur.append(i)
+        close()
+        return spans
+
+    # -- public per-paragraph API -------------------------------------------
+    def tag_paragraph(self, text: str) -> list[Span]:
+        """All filtered entity spans of one paragraph.
+
+        Applies the reference's two output filters: confidence
+        ``score >= threshold`` (src/inference.py:203, kept at equality) and
+        validity ``0 <= start < end <= len(text)`` (src/inference.py:209).
+        """
+        offsets = tokenize_with_offsets(text)
+        if not offsets:
+            return []
+        tags, scores = self._token_tags(text, offsets)
+        out = []
+        for sp in self.decode_simple(offsets, tags, scores):
+            if sp.score >= self.threshold and 0 <= sp.start < sp.end <= len(text):
+                out.append(sp)
+        return out
