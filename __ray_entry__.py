@@ -1,44 +1,375 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on the sf0.001 synthetic web-pages
+corpus. ``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 plus the training-data ops (dedup, similarity search, text
+analysis, windows, multimodal); ``oracle_sql()`` gives DuckDB-checkable SQL
+for each SQL-expressible entry. The web-pages corpus and the single-process
+oracle goldens are synthesized deterministically under /tmp (TESTDATA.md
+tables carry no html column, so the input_hint table is generated per
+BASELINE.json; the `documents`/`embeddings`/`events` testdata tables back
+the training-data ops).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_KG_RUN_ROOT = "/tmp/kgray_runs"
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", str(sf_dir))
+    return float(m.group(1)) if m else 0.01
+
+
+def _kg_out(sf: float) -> Path:
+    """Run (or resume) the KG pipeline for this scale; cached across calls."""
+    from portuguese_pt_legal_ner_ray.corpus import CORPUS_VERSION, ensure_webpages
+    from portuguese_pt_legal_ner_ray.pipelines.kg import run_kg_pipeline
+
+    d = ensure_webpages(sf)
+    out = Path(_KG_RUN_ROOT) / CORPUS_VERSION / f"sf{sf:g}"
+    run_kg_pipeline(d / "webpages", out, num_partitions=8)
+    return out
+
+
+def _corpus_paths(sf: float) -> dict[str, str]:
+    from portuguese_pt_legal_ner_ray.corpus import corpus_dir
+
+    d = corpus_dir(sf)
+    return {
+        "webpages": f"{d}/webpages/part-*.parquet",
+        "golden": f"{d}/golden",
+    }
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG construction at sf0.001 -> triples Dataset."""
+    import ray
+
+    out = _kg_out(0.001)
+    return ray.data.read_parquet(str(out / "graph" / "triples"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from portuguese_pt_legal_ner_ray.stages import textops
+    from portuguese_pt_legal_ner_ray.stages.dedup import (
+        char_jaccard_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        make_query_ref,
+    )
+    from portuguese_pt_legal_ner_ray.stages.windows import sessionize, tumbling_window
+    from portuguese_pt_legal_ner_ray.sources.multimodal import (
+        decode_images,
+        ensure_media_table,
+    )
+
+    def _docs(sf_dir: str):
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def _graph_tbl(name: str):
+        def fn(sf_dir: str):
+            out = _kg_out(_sf_of(sf_dir))
+            return ray.data.read_parquet(str(out / "graph" / name))
+
+        return fn
+
+    def kg_extract_text(sf_dir: str):
+        out = _kg_out(_sf_of(sf_dir))
+        return ray.data.read_parquet(str(out / "extracted")).select_columns(["url", "text"])
+
+    def kg_paragraphs(sf_dir: str):
+        out = _kg_out(_sf_of(sf_dir))
+        return ray.data.read_parquet(str(out / "extraction")).select_columns(
+            ["url", "para_idx", "para_text"]
+        )
+
+    def kg_span_label_counts(sf_dir: str):
+        import pyarrow as pa
+
+        out = _kg_out(_sf_of(sf_dir))
+        ds = ray.data.read_parquet(str(out / "graph" / "spans"), columns=["label"])
+        return ds.groupby("label").count().map_batches(
+            lambda t: pa.table({"label": t["label"], "n_spans": t["count()"]}),
+            batch_format="pyarrow",
+        )
+
+    def kg_triple_pr(sf_dir: str):
+        """North-rule metric: engine (subj,pred,obj) set P/R vs oracle goldens."""
+        import pandas as pd
+        import pyarrow.dataset as pads
+
+        sf = _sf_of(sf_dir)
+        from portuguese_pt_legal_ner_ray.oracle import ensure_goldens
+
+        gdir = ensure_goldens(sf)
+        out = _kg_out(sf)
+        g = pads.dataset(str(Path(gdir) / "triples.parquet")).to_table()
+        want = set(zip(g["subj"].to_pylist(), g["pred"].to_pylist(), g["obj"].to_pylist()))
+        want_ref = ray.put(want)
+
+        import pyarrow as pa
+
+        class Partial:
+            def __init__(self):
+                self.want = ray.get(want_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                got = set(zip(batch["subj"].to_pylist(), batch["pred"].to_pylist(),
+                              batch["obj"].to_pylist()))
+                return pa.table({"tp": pa.array([len(got & self.want)], pa.int64()),
+                                 "n_got": pa.array([len(got)], pa.int64())})
+
+        triples = ray.data.read_parquet(str(out / "graph" / "triples"),
+                                        columns=["subj", "pred", "obj"])
+        # distinct first so per-batch partial sets can be summed exactly
+        distinct = triples.groupby(["subj", "pred", "obj"]).count()
+        parts = distinct.map_batches(Partial, batch_format="pyarrow",
+                                     concurrency=(1, 2)).to_pandas()
+        tp, n_got = int(parts["tp"].sum()), int(parts["n_got"].sum())
+        n_want = len(want)
+        precision = tp / max(1, n_got)
+        recall = tp / max(1, n_want)
+        f1 = 2 * precision * recall / max(1e-12, precision + recall)
+        return pd.DataFrame(
+            [{"tp": tp, "fp": n_got - tp, "fn": n_want - tp,
+              "precision": precision, "recall": recall, "f1": f1}]
+        )
+
+    def doc_token_counts(sf_dir: str):
+        return _docs(sf_dir).map_batches(textops.token_count_batch, batch_format="pyarrow")
+
+    def doc_quality(sf_dir: str):
+        return _docs(sf_dir).map_batches(textops.quality_batch, batch_format="pyarrow")
+
+    def doc_langid(sf_dir: str):
+        return _docs(sf_dir).map_batches(textops.langid_batch, batch_format="pyarrow")
+
+    def doc_fingerprint(sf_dir: str):
+        return _docs(sf_dir).map_batches(textops.fingerprint_batch, batch_format="pyarrow")
+
+    def doc_simhash(sf_dir: str):
+        return _docs(sf_dir).map_batches(textops.simhash_batch, batch_format="pyarrow")
+
+    def dedup_exact_docs(sf_dir: str):
+        return exact_dedup(_docs(sf_dir))
+
+    def near_dup_char_jaccard(sf_dir: str):
+        return char_jaccard_pairs(_docs(sf_dir), threshold=0.95)
+
+    def near_dup_minhash(sf_dir: str):
+        docs = _docs(sf_dir)
+        texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+        import ray as _ray
+
+        return minhash_lsh_pairs(docs, threshold=0.5, docs_ref=_ray.put(texts))
+
+    def docs_top10_longest(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"],
+                 "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+    def lang_histogram(sf_dir: str):
+        import pyarrow as pa
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        return ds.groupby("lang").count().map_batches(
+            lambda t: pa.table({"lang": t["lang"], "n": t["count()"]}),
+            batch_format="pyarrow",
+        )
+
+    def ann_cosine_topk(sf_dir: str):
+        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+        qref = make_query_ref(vecs, _ANN_QUERY_IDS)
+        return brute_force_topk(vecs, qref, k=10)
+
+    def ann_ivf_topk(sf_dir: str):
+        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+        qref = make_query_ref(vecs, _ANN_QUERY_IDS)
+        return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4)
+
+    def events_tumbling_hour(sf_dir: str):
+        return tumbling_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+    def events_sessionize(sf_dir: str):
+        return sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+    def media_decode(sf_dir: str):
+        path = ensure_media_table(500)
+        return decode_images(ray.data.read_parquet(str(path)))
+
+    return {
+        "kg_extract_text": kg_extract_text,
+        "kg_paragraphs": kg_paragraphs,
+        "kg_spans": _graph_tbl("spans"),
+        "kg_triples": _graph_tbl("triples"),
+        "kg_nodes": _graph_tbl("nodes"),
+        "kg_edges": _graph_tbl("edges"),
+        "kg_span_label_counts": kg_span_label_counts,
+        "kg_triple_pr": kg_triple_pr,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "doc_langid": doc_langid,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_simhash": doc_simhash,
+        "dedup_exact_docs": dedup_exact_docs,
+        "near_dup_char_jaccard": near_dup_char_jaccard,
+        "near_dup_minhash": near_dup_minhash,
+        "docs_top10_longest": docs_top10_longest,
+        "lang_histogram": lang_histogram,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "events_tumbling_hour": events_tumbling_hour,
+        "events_sessionize": events_sessionize,
+        "media_decode": media_decode,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; runs at sf=0.01)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from portuguese_pt_legal_ner_ray.oracle import ensure_goldens
+    from portuguese_pt_legal_ner_ray.sources.multimodal import ensure_media_table
+    from portuguese_pt_legal_ner_ray.stages.textops import (
+        PUNCT_PATTERN,
+        STOPWORDS,
+        TOKEN_PATTERN,
+        UPPER_TOKEN_PATTERN,
+        stopword_regex,
+    )
+
+    ensure_goldens(0.01)  # goldens are the independent single-process oracle
+    p = _corpus_paths(0.01)
+    media = ensure_media_table(500)
+
+    langs = sorted(STOPWORDS)
+    hit_cols = ",\n    ".join(
+        f"len(regexp_extract_all(lower(text), '{stopword_regex(l)}')) AS hits_{l}"
+        for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    lang_case = "CASE " + greatest + " " + " ".join(
+        f"WHEN hits_{l} THEN '{l}'" for l in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+
+    return {
+        "kg_extract_text": f"SELECT url, text FROM read_parquet('{p['webpages']}')",
+        "kg_paragraphs": f"""
+            WITH ex AS (
+              SELECT url,
+                     unnest(string_split(text, chr(10))) AS raw,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS i
+              FROM read_parquet('{p['webpages']}'))
+            SELECT url,
+                   CAST(row_number() OVER (PARTITION BY url ORDER BY i) - 1 AS INT) AS para_idx,
+                   trim(raw) AS para_text
+            FROM ex WHERE trim(raw) <> ''
+        """,
+        "kg_spans": f"""SELECT url, para_idx, "start", "end", label, surface
+                        FROM read_parquet('{p['golden']}/spans.parquet')""",
+        "kg_triples": f"""SELECT subj, pred, obj, subj_label, obj_label, url, para_idx
+                          FROM read_parquet('{p['golden']}/triples.parquet')""",
+        "kg_nodes": f"""SELECT entity_id, canonical_surface, label, n_mentions
+                        FROM read_parquet('{p['golden']}/nodes.parquet')""",
+        "kg_edges": f"""SELECT subj_id, pred, obj_id, weight
+                        FROM read_parquet('{p['golden']}/edges.parquet')""",
+        "kg_span_label_counts": f"""SELECT label, count(*) AS n_spans
+                                    FROM read_parquet('{p['golden']}/spans.parquet')
+                                    GROUP BY label""",
+        "doc_token_counts": f"""SELECT doc_id,
+                   len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+            FROM documents""",
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+                   len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
+                   len(regexp_extract_all(text, '{UPPER_TOKEN_PATTERN}')) AS n_capitalized
+            FROM documents""",
+        "doc_langid": f"""
+            WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+            SELECT doc_id, {lang_case} AS pred_lang, {greatest} AS n_hits FROM h""",
+        "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+        "dedup_exact_docs": """SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
+                               FROM documents GROUP BY text""",
+        "near_dup_char_jaccard": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE jaccard(a.text, b.text) >= 0.95""",
+        "docs_top10_longest": """SELECT doc_id, length(text) AS n_chars FROM documents
+                                 ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])) AS sim
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.query_id),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, vec_id) AS rk
+                       FROM s)
+            SELECT query_id, vec_id FROM r WHERE rk <= 10""",
+        "events_tumbling_hour": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            WITH flag AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            sess AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM flag)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, session_idx""",
+        "media_decode": f"""
+            SELECT doc_id,
+                   CAST(64 + doc_id % 1216 AS BIGINT) AS width,
+                   CAST(64 + doc_id % 656 AS BIGINT) AS height,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   TRUE AS decode_ok
+            FROM read_parquet('{media}') WHERE kind = 'image'""",
+    }

@@ -104,4 +104,4 @@ class PipelineConfig:
     confidence_threshold: float = CONFIDENCE_THRESHOLD
     linking: LinkingConfig = field(default_factory=LinkingConfig)
     ner_batch_size: int = 1024
-    ner_concurrency: int | tuple[int, int] | None = None  # None -> stateless-ish default pool
+    ner_concurrency: int | tuple[int, int] = (1, 8)  # actor pool size (min, max)

@@ -1,0 +1,108 @@
+"""Multimodal (opaque-binary) columns: synthetic media table + decode stage.
+
+Real image/audio codecs are not available in this container, so the decode
+kernel is a deterministic fake: each payload carries a 12-byte header
+``b"KGM1" + uint32_be(width) + uint32_be(height)`` followed by
+pseudo-random body bytes. The Ray-side plumbing is real and is the point
+(schema with a ``binary`` column + typed metadata, small-batch actor-pool
+decode via ``map_batches``, output layout) — swap ``FakeImageDecoder`` for a
+PIL/ffmpeg-backed class on a real cluster. A genuinely unimplementable codec
+path raises ``NotImplementedError`` (``decode_audio``).
+
+Width/height are pure functions of doc_id (width = 64 + id % 1216,
+height = 64 + id % 656) so a DuckDB oracle can check that the decoder really
+read the header.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from ray.data import Dataset
+
+MAGIC = b"KGM1"
+MEDIA_VERSION = "v1"
+
+
+def _payload(doc_id: int) -> bytes:
+    width = 64 + doc_id % 1216
+    height = 64 + doc_id % 656
+    body_len = 128 + (doc_id * 37) % 512
+    body = hashlib.md5(f"media|{doc_id}".encode()).digest() * (body_len // 16 + 1)
+    return MAGIC + width.to_bytes(4, "big") + height.to_bytes(4, "big") + body[:body_len]
+
+
+def ensure_media_table(n_rows: int, root: str = "/tmp/kgray_media") -> Path:
+    """Write (once) a deterministic media parquet: (doc_id, kind, payload)."""
+    d = Path(root) / MEDIA_VERSION / f"n{n_rows}"
+    out = d / "media.parquet"
+    if out.exists():
+        return out
+    d.mkdir(parents=True, exist_ok=True)
+    kinds = ["image", "image", "audio"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_rows), pa.int64()),
+            "kind": pa.array([kinds[i % 3] for i in range(n_rows)], pa.string()),
+            "payload": pa.array([_payload(i) for i in range(n_rows)], pa.binary()),
+        }
+    )
+    tmp = d / "media.parquet.tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    return out
+
+
+class FakeImageDecoder:
+    """Actor-pool decode stage: parse the binary header -> typed metadata.
+
+    Small ``batch_size`` is the operating rule for large binary payloads
+    (batch × concurrency must fit worker heap); state (a real codec) would
+    load in ``__init__`` once per actor.
+    """
+
+    def __init__(self):
+        self.magic = MAGIC
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, n_bytes, ok = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            n_bytes.append(len(payload))
+            if payload[:4] == self.magic:
+                widths.append(int.from_bytes(payload[4:8], "big"))
+                heights.append(int.from_bytes(payload[8:12], "big"))
+                ok.append(True)
+            else:
+                widths.append(0)
+                heights.append(0)
+                ok.append(False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def decode_images(media: Dataset) -> Dataset:
+    """Image branch: filter kind == 'image', decode headers in an actor pool."""
+    return (
+        media.filter(expr="kind == 'image'")
+        .map_batches(FakeImageDecoder, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 4))
+    )
+
+
+def decode_audio(media: Dataset) -> Dataset:
+    """Audio decode needs a codec not present in this container."""
+    raise NotImplementedError(
+        "audio decoding requires an external codec (ffmpeg); the image path "
+        "demonstrates the actor-pool binary-decode plumbing"
+    )

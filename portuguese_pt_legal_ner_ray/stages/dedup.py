@@ -1,0 +1,174 @@
+"""Deduplication operators over a document table (training-data ops).
+
+* exact dedup            — ``groupby(text)`` keeping min doc_id + dup count
+  (hash-partition + order-free per-group reducers, SURVEY.md §2.5 pattern)
+* minhash + LSH near-dup — shingle -> minhash -> band -> ``groupby(band)``
+  -> in-bucket verified pairs (the scale path: candidate generation never
+  goes quadratic in the corpus, only within buckets)
+* simhash near-dup       — 64-bit simhash, bucket by 16-bit sub-bands
+  (hamming-distance-tolerant blocking)
+* char-Jaccard near-dup  — distinct-character Jaccard >= threshold
+  (deliberately simple so DuckDB's ``jaccard()`` provides a SQL oracle)
+
+At 100 TB: exact dedup shuffles only (hash(text) -> fingerprint) pairs, not
+raw text, when ``by_fingerprint=True``; LSH shuffles one row per (doc, band).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from ..config import LinkingConfig
+from ..functions.minhash import MinHasher, jaccard, shingles
+
+
+def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """One row per distinct text: (text, keep_id=min id, n_dups)."""
+    return (
+        docs.select_columns([id_col, text_col])
+        .groupby(text_col)
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
+
+
+class MinhashBandStage:
+    """doc -> one row per LSH band: (band, doc_id). Stateful hasher per actor."""
+
+    def __init__(self, cfg: LinkingConfig | None = None, text_col: str = "text"):
+        self.cfg = cfg or LinkingConfig(num_hashes=32, num_bands=8, shingle_k=5)
+        self.hasher = MinHasher(self.cfg.num_hashes, self.cfg.shingle_k)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bands, ids = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch[self.text_col].to_pylist()):
+            for bk in self.hasher.band_keys(text.lower(), self.cfg.num_bands):
+                bands.append(bk)
+                ids.append(doc_id)
+        return pa.table({"band": pa.array(bands, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+
+class _VerifyJaccard:
+    """Stateless verify of candidate pairs by true shingle Jaccard."""
+
+    def __init__(self, docs_ref, shingle_k: int, threshold: float):
+        import ray
+
+        self.texts = ray.get(docs_ref)  # broadcast doc_id -> text (small side)
+        self.k = shingle_k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            ja = jaccard(
+                shingles(self.texts[a].lower(), self.k),
+                shingles(self.texts[b].lower(), self.k),
+            )
+            keep.append(ja >= self.threshold)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def minhash_lsh_pairs(
+    docs: Dataset,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    cfg: LinkingConfig | None = None,
+    docs_ref=None,
+) -> Dataset:
+    """Verified near-dup pairs (id_a < id_b) via minhash LSH.
+
+    ``docs_ref``: optional ``ray.put`` dict doc_id->text for verification;
+    when None, pairs are returned unverified (pure LSH candidates).
+    """
+    cfg = cfg or LinkingConfig(num_hashes=32, num_bands=8, shingle_k=5)
+    bands = docs.map_batches(
+        MinhashBandStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(cfg=cfg, text_col=text_col),
+        concurrency=(1, 4),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group["doc_id"].to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, min(i + 1 + cfg.window, len(ids))):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    pairs = (
+        bands.groupby("band")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+    )
+    if docs_ref is None:
+        return pairs
+    return pairs.map_batches(
+        _VerifyJaccard,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(docs_ref=docs_ref, shingle_k=cfg.shingle_k,
+                                   threshold=threshold),
+        concurrency=(1, 4),
+    )
+
+
+def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,
+                       text_col: str = "text") -> Dataset:
+    """All pairs with distinct-character Jaccard >= threshold.
+
+    O(n²) by design — the SQL-oracle-checkable baseline for the LSH path
+    (DuckDB ``jaccard()`` uses the same distinct-character semantics).
+    """
+    import ray
+
+    rows = docs.select_columns(["doc_id", text_col]).take_all()
+    items = sorted((r["doc_id"], frozenset(r[text_col])) for r in rows)
+    items_ref = ray.put(items)  # broadcast once; outer loop is distributed
+
+    class PairScan:
+        def __init__(self):
+            self.items = ray.get(items_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_out, b_out = [], []
+            for ia, text in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+                sa = frozenset(text)
+                for ib, sb in self.items:
+                    if ib <= ia:
+                        continue
+                    inter = len(sa & sb)
+                    if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                        a_out.append(ia)
+                        b_out.append(ib)
+            return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                             "id_b": pa.array(b_out, pa.int64())})
+
+    return docs.select_columns(["doc_id", text_col]).map_batches(
+        PairScan, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def simhash_buckets(docs: Dataset, text_col: str = "text") -> Dataset:
+    """(bucket, doc_id) rows: 4 × 16-bit simhash sub-bands per doc —
+    docs within hamming distance 3 share at least one bucket."""
+    from .textops import simhash_batch
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch, text_col)
+        buckets, ids = [], []
+        for doc_id, h in zip(sh["doc_id"].to_pylist(), sh["simhash"].to_pylist()):
+            for band in range(4):
+                buckets.append(f"{band}:{(h >> (band * 16)) & 0xFFFF:04x}")
+                ids.append(doc_id)
+        return pa.table({"bucket": pa.array(buckets, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    return docs.map_batches(to_buckets, batch_format="pyarrow")

@@ -1,0 +1,165 @@
+"""Extraction stages: HTML→text, paragraph explode, NER + triples.
+
+Ray-Data-first shapes (SURVEY.md §7 steps 2-5):
+
+* ``extract_text_batch`` — stateless ``map_batches`` over zero-copy Arrow;
+  pure ``pyarrow.compute`` kernel chain (functions/html.py).
+* ``explode_batch`` — stateless vectorized explode (functions/paragraphs.py).
+* ``NerTripleStage`` — the one stateful stage: a callable class for
+  ``map_batches(..., concurrency=N)`` whose ``__init__`` compiles the tagger
+  once per actor (mirroring the reference's once-per-process model load,
+  src/inference.py:65-96) and whose ``__call__`` tags a batch of paragraphs.
+  The language gate runs inside the stage: non-pt rows keep their lineage
+  (they flow through with empty span/triple lists) per BASELINE.json
+  north_star.
+
+Output of the NER stage is ONE nested Arrow table per paragraph row —
+``(url, lang, para_idx, para_text, spans: list<struct>, triples:
+list<struct>)`` — so a single streamed pass yields every downstream view
+(paragraphs / spans / triples are projections or flattens of it), instead of
+re-running extraction once per output table.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.html import html_to_text_arrow
+from ..functions.paragraphs import explode_paragraphs_arrow
+from ..functions.tagger import RegexGazetteerTagger
+from ..functions.triples import extract_triples
+
+SPAN_T = pa.struct(
+    [
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("label", pa.string()),
+        ("score", pa.float32()),
+        ("surface", pa.string()),
+    ]
+)
+TRIPLE_T = pa.struct(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("subj_label", pa.string()),
+        ("obj_label", pa.string()),
+    ]
+)
+
+EXTRACTION_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        ("para_idx", pa.int32()),
+        ("para_text", pa.string()),
+        ("spans", pa.list_(SPAN_T)),
+        ("triples", pa.list_(TRIPLE_T)),
+    ]
+)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """(url, html, lang, ...) -> (url, lang, text). Fully vectorized."""
+    return pa.table(
+        {
+            "url": batch["url"],
+            "lang": batch["lang"],
+            "text": html_to_text_arrow(batch["html"]),
+        }
+    )
+
+
+def explode_batch(batch: pa.Table) -> pa.Table:
+    """(url, lang, text) -> one row per kept paragraph (url, lang, para_idx, para_text)."""
+    return explode_paragraphs_arrow(batch, text_col="text", keep_cols=("url", "lang"))
+
+
+class NerTripleStage:
+    """Actor-pool stage: paragraph rows in, nested spans+triples out."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        cfg = cfg or PipelineConfig()
+        self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["para_text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        spans_col: list[list[dict]] = []
+        triples_col: list[list[dict]] = []
+        for text, lang in zip(texts, langs):
+            if lang != "pt":
+                spans_col.append([])
+                triples_col.append([])
+                continue
+            spans = self.tagger.tag_paragraph(text)
+            spans_col.append(
+                [
+                    {
+                        "start": s.start,
+                        "end": s.end,
+                        "label": s.label,
+                        "score": s.score,
+                        "surface": text[s.start : s.end],
+                    }
+                    for s in spans
+                ]
+            )
+            triples_col.append(
+                [
+                    {"subj": su, "pred": p, "obj": o, "subj_label": sl, "obj_label": ol}
+                    for su, p, o, sl, ol in extract_triples(text, spans)
+                ]
+            )
+        return pa.table(
+            {
+                "url": batch["url"],
+                "lang": batch["lang"],
+                "para_idx": batch["para_idx"],
+                "para_text": batch["para_text"],
+                "spans": pa.array(spans_col, type=pa.list_(SPAN_T)),
+                "triples": pa.array(triples_col, type=pa.list_(TRIPLE_T)),
+            }
+        )
+
+
+def flatten_spans(batch: pa.Table) -> pa.Table:
+    """Extraction rows -> one row per span (url, para_idx, start, end, label, surface)."""
+    import pyarrow.compute as pc
+
+    lists = batch["spans"].combine_chunks()
+    parent = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    take = lambda c: pc.take(batch[c], parent)  # noqa: E731
+    return pa.table(
+        {
+            "url": take("url"),
+            "para_idx": take("para_idx"),
+            "start": flat.field("start"),
+            "end": flat.field("end"),
+            "label": flat.field("label"),
+            "surface": flat.field("surface"),
+        }
+    )
+
+
+def flatten_triples(batch: pa.Table) -> pa.Table:
+    """Extraction rows -> one row per triple (subj, pred, obj, labels, url, para_idx)."""
+    import pyarrow.compute as pc
+
+    lists = batch["triples"].combine_chunks()
+    parent = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    return pa.table(
+        {
+            "subj": flat.field("subj"),
+            "pred": flat.field("pred"),
+            "obj": flat.field("obj"),
+            "subj_label": flat.field("subj_label"),
+            "obj_label": flat.field("obj_label"),
+            "url": pc.take(batch["url"], parent),
+            "para_idx": pc.take(batch["para_idx"], parent),
+        }
+    )

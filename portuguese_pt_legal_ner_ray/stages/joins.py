@@ -1,0 +1,98 @@
+"""Join helpers for Ray Data (SURVEY.md §2.4 — the reference has no joins;
+the target pipeline adds broadcast lookups and a partitioned hash join).
+
+* ``broadcast_map_batch`` — small-side lookup: the mapping dict is put in the
+  object store ONCE (``ray.put`` on the driver) and resolved once per task
+  from the local object store, never re-shipped per batch.
+* ``hash_join`` — both-sides-large equi-join expressed as
+  union-with-source-tag → ``groupby(key).map_groups`` (an explicit
+  hash-partitioned join; the portable pattern from the Ray guide). Inner
+  join, pandas cross-merge within each key group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def put_broadcast(obj) -> "ray.ObjectRef":
+    return ray.put(obj)
+
+
+class BroadcastLookup:
+    """map_batches callable: adds columns by dict lookup on a key column.
+
+    ``mapping_ref`` is a ``ray.ObjectRef`` to a dict; fetched once per actor
+    (zero-copy shared memory on one node; one transfer per node in a
+    cluster).
+    """
+
+    def __init__(self, mapping_ref, key_col: str, out_col: str, default=None):
+        self.mapping = ray.get(mapping_ref)
+        self.key_col = key_col
+        self.out_col = out_col
+        self.default = default
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = self.mapping
+        d = self.default
+        batch[self.out_col] = [
+            m.get(k, k if d is None else d) for k in batch[self.key_col]
+        ]
+        return batch
+
+
+def hash_join(ds_a, ds_b, key: str):
+    """Inner equi-join of two Datasets on ``key`` via groupby shuffle.
+
+    Used when neither side fits a broadcast (e.g. canonical-id application at
+    10^12-doc scale). Payload (non-key) column names must be disjoint. Both
+    sides are reindexed to one shared schema before the union so every block
+    agrees on layout.
+    """
+    def _fields(ds):
+        sch = ds.schema()
+        out = {}
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(np.dtype(t))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()  # pandas object dtype -> string payloads
+            out[n] = t
+        return out
+
+    fa, fb = _fields(ds_a), _fields(ds_b)
+    a_cols = [c for c in fa if c != key]
+    b_cols = [c for c in fb if c != key]
+    overlap = set(a_cols) & set(b_cols)
+    if overlap:
+        raise ValueError(f"hash_join payload columns must be disjoint: {overlap}")
+    all_cols = [key, *a_cols, *b_cols, "__src"]
+    out_schema = pa.schema(
+        [(key, fa[key])] + [(c, fa[c]) for c in a_cols] + [(c, fb[c]) for c in b_cols]
+    )
+
+    def tag(src: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__src"] = src
+            return df.reindex(columns=all_cols)
+
+        return f
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g.loc[g["__src"] == 0, [key, *a_cols]]
+        right = g.loc[g["__src"] == 1, [key, *b_cols]]
+        merged = left.merge(right, on=key, how="inner")
+        # explicit schema so empty groups still emit typed Arrow blocks
+        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+
+    a_tagged = ds_a.map_batches(tag(0), batch_format="pandas")
+    b_tagged = ds_b.map_batches(tag(1), batch_format="pandas")
+    return a_tagged.union(b_tagged).groupby(key).map_groups(
+        join_group, batch_format="pandas"
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (training-data ops).
+
+* ``brute_force_topk`` — baseline exact cosine top-k: the (small) query
+  matrix is broadcast once (``ray.put``), each batch does one float64
+  numpy matmul against it, per-batch partial top-k keeps the shuffle tiny,
+  and a final per-query reduce merges partials. Never materializes the
+  corpus.
+* ``ivf_topk`` — the scale path: k-means-lite (deterministic seeded
+  centroids from the data itself) assigns each vector to a coarse cell;
+  queries probe only the ``nprobe`` nearest cells, so compute per query is
+  corpus_fraction × brute force. Same output contract; recall < 1 by
+  design — benchmarked, not hash-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    lists = batch[col].combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+class _PartialTopK:
+    """Per-batch cosine scores against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str):
+        q = ray.get(queries_ref)  # {"ids": int64[nq], "mat": float64[nq, d]}
+        self.q_ids = q["ids"]
+        self.q_mat = _norm_rows(q["mat"])
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _norm_rows(_emb_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q_mat @ mat.T  # [nq, batch]
+        k = min(self.k + 1, sims.shape[1])  # +1 so self-hits can be dropped later
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_out, id_out, sim_out = [], [], []
+        for qi in range(sims.shape[0]):
+            for ci in top[qi]:
+                q_out.append(self.q_ids[qi])
+                id_out.append(ids[ci])
+                sim_out.append(sims[qi, ci])
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "vec_id": pa.array(id_out, pa.int64()),
+                "sim": pa.array(sim_out, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    vectors: Dataset,
+    queries_ref,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Exact cosine top-k neighbors for each broadcast query vector.
+
+    Returns (query_id, vec_id) rows, top-k per query, ties broken by
+    ascending vec_id so output is fully deterministic.
+    """
+    partials = vectors.map_batches(
+        _PartialTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   emb_col=emb_col, id_col=id_col),
+        concurrency=(1, 4),
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        rows = sorted(
+            zip(group["sim"].to_pylist(), group["vec_id"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )
+        out = [v for s, v in rows if not (exclude_self and v == qid)][:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(out), pa.int64()),
+                "vec_id": pa.array(out, pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def make_query_ref(vectors: Dataset, query_ids: list[int],
+                   emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Collect the (small) query vectors and broadcast them once."""
+    qset = set(query_ids)
+    rows = vectors.filter(lambda r: r[id_col] in qset).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    return ray.put({"ids": ids, "mat": mat})
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization (scale path)
+# ---------------------------------------------------------------------------
+
+
+def deterministic_centroids(vectors: Dataset, n_cells: int,
+                            emb_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Seedless, order-free centroid pick: the ``n_cells`` vectors with the
+    smallest ids (deterministic at any parallelism), L2-normalized."""
+    rows = vectors.sort(id_col).limit(n_cells).take_all()
+    return _norm_rows(np.array([r[emb_col] for r in rows], dtype=np.float64))
+
+
+def ivf_topk(
+    vectors: Dataset,
+    queries_ref,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Approximate top-k: probe only the ``nprobe`` closest coarse cells."""
+    cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
+    cents_ref = ray.put(cents)
+    q = ray.get(queries_ref)
+    q_probe = np.argsort(-(_norm_rows(q["mat"]) @ cents.T), axis=1)[:, :nprobe]
+    probe_ref = ray.put({qid: set(cells) for qid, cells in zip(q["ids"], q_probe)})
+
+    class CellPartial(_PartialTopK):
+        def __init__(self, queries_ref, k, emb_col, id_col):
+            super().__init__(queries_ref, k, emb_col, id_col)
+            self.cents = ray.get(cents_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _norm_rows(_emb_matrix(batch, self.emb_col))
+            cells = (mat @ self.cents.T).argmax(axis=1)
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            sims = self.q_mat @ mat.T
+            q_out, id_out, sim_out = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                probe = self.probe[qid]
+                mask = np.array([c in probe for c in cells])
+                if not mask.any():
+                    continue
+                cand = np.where(mask)[0]
+                order = cand[np.argsort(-sims[qi, cand])][: self.k + 1]
+                for ci in order:
+                    q_out.append(qid)
+                    id_out.append(ids[ci])
+                    sim_out.append(sims[qi, ci])
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, pa.int64()),
+                    "vec_id": pa.array(id_out, pa.int64()),
+                    "sim": pa.array(sim_out, pa.float64()),
+                }
+            )
+
+    partials = vectors.map_batches(
+        CellPartial,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   emb_col=emb_col, id_col=id_col),
+        concurrency=(1, 4),
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        rows = sorted(
+            zip(group["sim"].to_pylist(), group["vec_id"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )
+        out = [v for s, v in rows if v != qid][:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(out), pa.int64()),
+                "vec_id": pa.array(out, pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""Windowed / sessionized aggregates over the events table.
+
+The reference is batch-only (SURVEY.md §2.7); these are the streaming-shaped
+operators a training-data pipeline needs, expressed as Dataset compositions:
+
+* ``tumbling_window`` — truncate-to-window inside ``map_batches`` (vectorized
+  Arrow kernel), then one ``groupby`` shuffle on (window_start, event_type).
+  Aggregates are order-free (count/min/max) so results are identical at any
+  parallelism.
+* ``sessionize`` — gap-based sessions per user: ``groupby(user_id)`` then a
+  per-group sorted cumulative-gap scan (pandas, per group — groups are small;
+  the shuffle is the user_id hash partition).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min
+
+
+def tumbling_window(events: Dataset, every: str = "hour") -> Dataset:
+    """(window_start, event_type, n_events, min_value, max_value)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.cast(
+                    pc.floor_temporal(batch["ts"], unit=every), pa.timestamp("us")
+                ),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+
+    def recast(batch: pa.Table) -> pa.Table:
+        # the aggregate's pandas block round-trip downcasts timestamp[us]->[s]
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", pc.cast(batch["window_start"], pa.timestamp("us"))
+        )
+
+    return (
+        events.select_columns(["ts", "event_type", "value"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .map_batches(recast, batch_format="pyarrow")
+    )
+
+
+def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
+    """Gap-based sessions: (user_id, session_idx, n_events, session_start,
+    session_end). A new session starts when the time since the previous
+    event of the same user exceeds ``gap_minutes``."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > gap).cumsum()
+        out = (
+            g.groupby(new_session)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index(drop=True)
+        )
+        out["session_idx"] = range(len(out))
+        return out[["user_id", "session_idx", "n_events", "session_start", "session_end"]]
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )

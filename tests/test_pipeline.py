@@ -1,0 +1,120 @@
+"""End-to-end parity: Ray pipeline output == single-process oracle output
+(SURVEY.md §5 test 1 — the core acceptance test). Expected equality is exact
+(P/R = 1.0) because pipeline and oracle share the deterministic tagger."""
+
+import shutil
+from pathlib import Path
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+from portuguese_pt_legal_ner_ray.oracle import run_oracle
+from portuguese_pt_legal_ner_ray.pipelines.kg import graph_stage, run_kg_pipeline
+from portuguese_pt_legal_ner_ray.config import PipelineConfig
+
+TABLE_COLS = {
+    "spans": ["url", "para_idx", "start", "end", "label", "surface"],
+    "triples": ["subj", "pred", "obj", "subj_label", "obj_label", "url", "para_idx"],
+    "nodes": ["entity_id", "canonical_surface", "label", "n_mentions"],
+    "edges": ["subj_id", "pred", "obj_id", "weight"],
+}
+
+
+def _sorted(t, cols):
+    t = t.select(cols)
+    return t.sort_by([(c, "ascending") for c in cols])
+
+
+def _assert_table_equal(out_dir, golden, name):
+    got = _sorted(pads.dataset(Path(out_dir) / "graph" / name).to_table(), TABLE_COLS[name])
+    want = _sorted(golden[name], TABLE_COLS[name])
+    assert got.num_rows == want.num_rows, name
+    assert got.equals(want.cast(got.schema)), f"{name} table mismatch"
+
+
+@pytest.fixture(scope="session")
+def mini_run(ray_session, tmp_path_factory):
+    """200-page corpus (4 shards) -> pipeline run + oracle goldens."""
+    root = tmp_path_factory.mktemp("mini")
+    inp = root / "webpages"
+    inp.mkdir()
+    tables = [gen_pages_shard(s, s * 50, 50) for s in range(4)]
+    for s, t in enumerate(tables):
+        pq.write_table(t, inp / f"part-{s:05d}.parquet")
+    import pyarrow as pa
+
+    pages = pa.concat_tables(tables)
+    golden = run_oracle(pages)
+    out = root / "out"
+    run_kg_pipeline(inp, out, num_partitions=4)
+    return {"input": inp, "out": out, "golden": golden, "pages": pages, "root": root}
+
+
+def test_extracted_text_byte_identity(mini_run):
+    got = pads.dataset(mini_run["out"] / "extracted").to_table()
+    by_url = dict(zip(got["url"].to_pylist(), got["text"].to_pylist()))
+    pages = mini_run["pages"]
+    for url, text in zip(pages["url"].to_pylist(), pages["text"].to_pylist()):
+        assert by_url[url] == text  # byte-identical per url (input_hint invariant)
+
+
+def test_paragraphs_match_oracle(mini_run):
+    got = pads.dataset(mini_run["out"] / "extraction").to_table()
+    got = _sorted(got, ["url", "para_idx", "para_text"])
+    want = _sorted(mini_run["golden"]["paragraphs"], ["url", "para_idx", "para_text"])
+    assert got.equals(want.cast(got.schema))
+
+
+@pytest.mark.parametrize("name", list(TABLE_COLS))
+def test_graph_tables_match_oracle(mini_run, name):
+    _assert_table_equal(mini_run["out"], mini_run["golden"], name)
+
+
+def test_triple_set_precision_recall(mini_run):
+    """The north-rule metric: (subj, pred, obj) set P/R >= 0.95 (here 1.0)."""
+    got_t = pads.dataset(mini_run["out"] / "graph" / "triples").to_table()
+    got = set(zip(got_t["subj"].to_pylist(), got_t["pred"].to_pylist(), got_t["obj"].to_pylist()))
+    g = mini_run["golden"]["triples"]
+    want = set(zip(g["subj"].to_pylist(), g["pred"].to_pylist(), g["obj"].to_pylist()))
+    tp = len(got & want)
+    precision = tp / max(1, len(got))
+    recall = tp / max(1, len(want))
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0  # deterministic shared tagger
+
+
+def test_distributed_cc_matches_driver(mini_run):
+    """Label-propagation CC (pure Dataset algebra) == driver union-find."""
+    alt = mini_run["root"] / "out_distcc"
+    if not alt.exists():
+        shutil.copytree(mini_run["out"], alt)
+    graph_stage(alt, PipelineConfig(), force_distributed_cc=True)
+    for name in ("nodes", "edges"):
+        _assert_table_equal(alt, mini_run["golden"], name)
+
+
+def test_resume_after_injected_failure(ray_session, mini_run, tmp_path):
+    out = tmp_path / "out_resume"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_kg_pipeline(mini_run["input"], out, num_partitions=4, fail_after_partitions=2)
+    from portuguese_pt_legal_ner_ray.state.manifest import Manifest
+
+    m = Manifest(out)
+    done_before = {r["partition"] for r in m.all_records() if r["stage"] == "extract"}
+    assert len(done_before) == 2
+    # mark completion times, resume, verify completed partitions were skipped
+    times_before = {
+        r["partition"]: r["completed_at"] for r in m.all_records() if r["stage"] == "extract"
+    }
+    run_kg_pipeline(mini_run["input"], out, num_partitions=4)
+    times_after = {
+        r["partition"]: r["completed_at"]
+        for r in Manifest(out).all_records()
+        if r["stage"] == "extract"
+    }
+    for p in done_before:
+        assert times_after[p] == times_before[p], "completed partition was recomputed"
+    for name in TABLE_COLS:
+        _assert_table_equal(out, mini_run["golden"], name)
