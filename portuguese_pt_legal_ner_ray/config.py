@@ -104,4 +104,5 @@ class PipelineConfig:
     confidence_threshold: float = CONFIDENCE_THRESHOLD
     linking: LinkingConfig = field(default_factory=LinkingConfig)
     ner_batch_size: int = 1024
-    ner_concurrency: int | tuple[int, int] = (1, 8)  # actor pool size (min, max)
+    # actor pool size (min, max); None -> autoscale to (1, cluster CPUs)
+    ner_concurrency: int | tuple[int, int] | None = None

@@ -26,7 +26,34 @@ from .functions.html import render_html
 from .functions.normalize import normalize_surface
 
 # bump to invalidate cached corpora + goldens under /tmp
-CORPUS_VERSION = "v3"
+CORPUS_VERSION = "v4"
+
+# Finite value pools: real web corpora have heavy-tailed entity
+# distributions (the same dates, process numbers and contacts recur across
+# pages), so regex-entity surfaces draw from fixed pools instead of the full
+# numeric range. Pool sizes set distinct-entity cardinality ~16k.
+def _build_pools() -> dict[str, list[str]]:
+    rng = np.random.default_rng([42, 7777])
+    dates_slash, dates_long, idps, ceps, tels, mats = [], [], [], [], [], []
+    for _ in range(1500):
+        d, m, y = int(rng.integers(1, 29)), int(rng.integers(1, 13)), int(rng.integers(2015, 2025))
+        dates_slash.append(f"{d:02d}/{m:02d}/{y}")
+        dates_long.append(f"{d} de {PT_MONTHS[m - 1]} de {y}")
+    for _ in range(5000):
+        idps.append(f"{int(rng.integers(100, 999999))}/{int(rng.integers(2015, 2025))}")
+        tels.append(f"9{int(rng.integers(10000000, 99999999))}")
+    for _ in range(2000):
+        ceps.append(f"{int(rng.integers(1000, 9999))}-{int(rng.integers(100, 999)):03d}")
+        mats.append(
+            chr(65 + int(rng.integers(0, 26))) + chr(65 + int(rng.integers(0, 26)))
+            + f"-{int(rng.integers(10, 99))}-"
+            + chr(65 + int(rng.integers(0, 26))) + chr(65 + int(rng.integers(0, 26)))
+        )
+    return {"dates_slash": dates_slash, "dates_long": dates_long, "idps": idps,
+            "ceps": ceps, "tels": tels, "mats": mats}
+
+
+_POOLS = _build_pools()
 
 LANG_CYCLE = ["pt", "pt", "pt", "en", "es", "de", "fr"]
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
@@ -61,17 +88,13 @@ def _pt_paragraph(rng: np.random.Generator) -> str:
     else:
         org = ORGS[int(rng.integers(0, len(ORGS)))]
     loc = LOCS[int(rng.integers(0, len(LOCS)))]
-    d, m, y = int(rng.integers(1, 29)), int(rng.integers(1, 13)), int(rng.integers(1990, 2025))
-    dat_slash = f"{d:02d}/{m:02d}/{y}"
-    dat_long = f"{d} de {PT_MONTHS[m - 1]} de {y}"
-    idp = f"{int(rng.integers(100, 999999))}/{y}"
-    cep = f"{int(rng.integers(1000, 9999))}-{int(rng.integers(100, 999)):03d}"
-    mat = (
-        chr(65 + int(rng.integers(0, 26))) + chr(65 + int(rng.integers(0, 26)))
-        + f"-{int(rng.integers(10, 99))}-"
-        + chr(65 + int(rng.integers(0, 26))) + chr(65 + int(rng.integers(0, 26)))
-    )
-    tel = f"9{int(rng.integers(10000000, 99999999))}"
+    di = int(rng.integers(0, len(_POOLS["dates_slash"])))
+    dat_slash = _POOLS["dates_slash"][di]
+    dat_long = _POOLS["dates_long"][int(rng.integers(0, len(_POOLS["dates_long"])))]
+    idp = _POOLS["idps"][int(rng.integers(0, len(_POOLS["idps"])))]
+    cep = _POOLS["ceps"][int(rng.integers(0, len(_POOLS["ceps"])))]
+    mat = _POOLS["mats"][int(rng.integers(0, len(_POOLS["mats"])))]
+    tel = _POOLS["tels"][int(rng.integers(0, len(_POOLS["tels"])))]
     if t == 0:
         return f"O processo número {idp} do réu {per} foi julgado em {dat_slash}."
     if t == 1:
@@ -130,8 +153,16 @@ def pages_for_sf(sf: float) -> int:
     return max(100, round(sf * 500_000))
 
 
-def shard_plan(n_pages: int, target_shard_rows: int = 1024) -> list[tuple[int, int, int]]:
-    """[(shard, start_idx, n_rows)] — at least 8 shards for resume tests."""
+def shard_plan(n_pages: int, target_shard_rows: int | None = None) -> list[tuple[int, int, int]]:
+    """[(shard, start_idx, n_rows)] — at least 8 shards for resume tests.
+
+    Shard size is a pure function of n_pages (corpus content depends on the
+    plan, so the plan must be deterministic per scale): 1024 rows for small
+    corpora, 4096 for bench-scale ones (fewer files -> less scheduling
+    overhead per read task).
+    """
+    if target_shard_rows is None:
+        target_shard_rows = 1024 if n_pages <= 500_000 else 4096
     n_shards = max(8, -(-n_pages // target_shard_rows))
     base = n_pages // n_shards
     rem = n_pages % n_shards
@@ -159,8 +190,30 @@ def ensure_webpages(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
         return d
     tmp = d / "webpages.tmp"
     tmp.mkdir(parents=True, exist_ok=True)
-    for shard, start, n in shard_plan(pages_for_sf(sf)):
+    plan = shard_plan(pages_for_sf(sf))
+
+    def _write(shard: int, start: int, n: int) -> None:
         pq.write_table(gen_pages_shard(shard, start, n), tmp / f"part-{shard:05d}.parquet")
+
+    # shard generation is embarrassingly parallel and deterministic per shard;
+    # fan out over Ray when a session is up (large bench corpora), else inline
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(plan) >= 16
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _gen(shard: int, start: int, n: int) -> None:
+            _write(shard, start, n)
+
+        ray.get([_gen.remote(*p) for p in plan])
+    else:
+        for p in plan:
+            _write(*p)
     (tmp / "_DONE").write_text(CORPUS_VERSION)
     final = d / "webpages"
     try:

@@ -102,19 +102,23 @@ class RegexGazetteerTagger:
     def _token_tags(
         self, text: str, offsets: list[tuple[int, int]]
     ) -> tuple[list[str], list[float]]:
+        from bisect import bisect_left, bisect_right
+
         tags = ["O"] * len(offsets)
         scores = [0.0] * len(offsets)
         taken = [False] * len(offsets)
+        starts = [s for s, _ in offsets]
+        ends = [e for _, e in offsets]
         for label, pat, weak in self.patterns:
             for m in pat.finditer(text):
                 ms, me = m.span()
-                cover = [
-                    i for i, (ts, te) in enumerate(offsets) if ts < me and te > ms
-                ]
-                if not cover or any(taken[i] for i in cover):
+                # covering tokens: end > ms and start < me (offsets are sorted)
+                lo = bisect_right(ends, ms)
+                hi = bisect_left(starts, me)
+                if lo >= hi or any(taken[i] for i in range(lo, hi)):
                     continue  # earlier (higher-priority) match keeps the tokens
                 sc = surface_score(label, m.group(), weak)
-                for k, i in enumerate(cover):
+                for k, i in enumerate(range(lo, hi)):
                     taken[i] = True
                     tags[i] = ("B-" if k == 0 else "I-") + label
                     scores[i] = sc

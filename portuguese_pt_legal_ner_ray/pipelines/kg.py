@@ -44,6 +44,14 @@ from ..state.manifest import Manifest, parquet_row_count
 GRAPH_TABLES = ("spans", "triples", "nodes", "edges")
 
 
+def _resolve_concurrency(cfg: PipelineConfig) -> int | tuple[int, int]:
+    """None -> autoscale the NER actor pool to the session's CPU count."""
+    if cfg.ner_concurrency is not None:
+        return cfg.ner_concurrency
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus))
+
+
 def _partition_files(input_dir: str | Path, num_partitions: int) -> list[list[str]]:
     files = sorted(str(p) for p in Path(input_dir).glob("*.parquet"))
     if not files:
@@ -77,7 +85,7 @@ def extract_partition(files: list[str], out_dir: Path, part: str,
             NerTripleStage,
             batch_format="pyarrow",
             batch_size=cfg.ner_batch_size,
-            concurrency=cfg.ner_concurrency,
+            concurrency=_resolve_concurrency(cfg),
             fn_constructor_kwargs=dict(cfg=cfg),
         )
         .write_parquet(str(ner_dir))
@@ -157,6 +165,146 @@ def run_kg_pipeline(
         meta = graph_stage(out_dir, cfg, force_distributed_cc)
         manifest.mark_done("graph", "all", **meta)
     return manifest
+
+
+def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
+                 cfg: PipelineConfig | None = None) -> dict:
+    """Lean end-to-end run for throughput benchmarking (4 Ray jobs).
+
+    Same output contract as :func:`run_kg_pipeline`'s graph stage (asserted
+    by tests/test_pipeline.py::test_bench_pipeline_matches_oracle) but fused
+    for steady-state measurement:
+
+    1. extraction — one streamed job: read (pruned columns) -> vectorized
+       html->text -> explode -> task-mode NER -> pruned nested write;
+    2. mention combiners, pinned once; the tiny linkable slice (PER/ORG/LOC)
+       goes to the driver for blocking + verify + union-find;
+    3. nodes — one bucketed Arrow shuffle with canonical ids applied via a
+       small broadcast remap (non-identity entries only);
+    4. edges — combiner + bucketed exact count of canonicalized triples.
+
+    Per-partition manifests and the extracted-text/paragraph tables belong
+    to the correctness path (:func:`run_kg_pipeline`), not the stopwatch.
+    """
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..config import LINK_LABELS
+    from ..oracle import link_entities
+    from ..stages.extract import ner_triples_task
+    from ..stages.graph import build_edges
+    from ..stages.linking import mention_partial_task
+    from ..stages.shuffle import grouped_agg
+
+    import time
+
+    cfg = cfg or PipelineConfig()
+    out_dir = Path(out_dir)
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    files = sorted(str(p) for p in Path(input_dir).glob("*.parquet"))
+    phases: dict[str, float] = {}
+    _t = time.time()
+
+    # job 1: fused extraction. Task-mode NER (module-global tagger, workers
+    # reused) — use the NerTripleStage actor pool instead when per-worker
+    # state is heavy (real model weights); see stages/extract.py.
+    (
+        ray.data.read_parquet(files, columns=["url", "html", "lang"])
+        .map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(explode_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(ner_triples_task, batch_format="pyarrow")  # whole blocks
+        # prune at the write: the KG stages downstream consume only
+        # (url, para_idx, spans, triples); para_text belongs to the
+        # correctness-path outputs (run_kg_pipeline), not this checkpoint
+        .select_columns(["url", "para_idx", "spans", "triples"])
+        .write_parquet(str(out_dir / "extraction"))
+    )
+    phases["extract"] = round(time.time() - _t, 2)
+    _t = time.time()
+    extraction = ray.data.read_parquet(str(out_dir / "extraction"))
+
+    # job 2: per-batch mention combiners, computed ONCE and pinned in the
+    # object store — reused by linking (tiny linkable slice to the driver)
+    # and by the nodes shuffle.
+    partials_ds = (
+        extraction.map_batches(flatten_spans, batch_format="pyarrow")
+        .map_batches(mention_partial_task, batch_format="pyarrow")
+        .materialize()
+    )
+    link_label_arr = pa.array(sorted(LINK_LABELS), pa.string())
+
+    def only_linkable(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["label"], value_set=link_label_arr))
+
+    linkable = partials_ds.map_batches(only_linkable, batch_format="pyarrow").to_pandas()
+    linkable = linkable.sort_values(["key", "surface"], kind="stable")
+    linkable = (
+        linkable.groupby("key", sort=False)
+        .agg(label=("label", "first"), surface=("surface", "first"), n=("n", "sum"))
+        .reset_index()
+    )
+    mentions_map = {
+        r.key: (r.label, r.surface, int(r.n)) for r in linkable.itertuples()
+    }
+    full_mapping = link_entities(mentions_map, cfg.linking)
+    # broadcast only non-identity entries: dicts are NOT zero-copy in the
+    # object store, so ship just the (small) remap set; lookups default to
+    # identity
+    mapping = {k: v for k, v in full_mapping.items() if k != v}
+    mapping_ref = ray.put(mapping)
+    phases["link"] = round(time.time() - _t, 2)
+    _t = time.time()
+
+    # job 3: nodes — one distributed shuffle: span partials with the
+    # canonical id applied, bucket-merged by component (order-free Min/Sum)
+    state: dict = {}
+
+    def apply_comp(batch: pa.Table) -> pa.Table:
+        m = state.get("m")
+        if m is None:
+            m = state["m"] = ray.get(mapping_ref)
+        keys = batch["key"].to_pylist()
+        return pa.table(
+            {
+                "comp": pa.array([m.get(k, k) for k in keys], pa.string()),
+                "surface": batch["surface"],
+                "n": batch["n"],
+            }
+        )
+
+    nodes = grouped_agg(
+        partials_ds.map_batches(apply_comp, batch_format="pyarrow"),
+        ["comp"],
+        {"canonical_surface": ("surface", "min"), "n_mentions": ("n", "sum")},
+        pre_aggregated=True,
+    ).map_batches(
+        lambda df: df.assign(
+            entity_id=df["comp"], label=[c.split("|", 1)[0] for c in df["comp"]]
+        )[["entity_id", "canonical_surface", "label", "n_mentions"]],
+        batch_format="pandas",
+    )
+    nodes.write_parquet(str(out_dir / "graph" / "nodes"))
+    phases["nodes"] = round(time.time() - _t, 2)
+    _t = time.time()
+
+    # job 4: canonicalized weighted edges (combiner + bucketed exact count)
+    edges = build_edges(
+        extraction.map_batches(flatten_triples, batch_format="pyarrow"),
+        mapping_ref=mapping_ref,
+    )
+    edges.write_parquet(str(out_dir / "graph" / "edges"))
+    phases["edges"] = round(time.time() - _t, 2)
+
+    return {
+        "phases": phases,
+        "paragraphs": parquet_row_count(out_dir / "extraction"),
+        "linkable_mentions": len(linkable),
+        "nodes": parquet_row_count(out_dir / "graph" / "nodes"),
+        "edges": parquet_row_count(out_dir / "graph" / "edges"),
+    }
 
 
 def read_graph_table(out_dir: str | Path, name: str) -> Dataset:

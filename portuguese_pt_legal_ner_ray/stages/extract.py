@@ -125,6 +125,24 @@ class NerTripleStage:
         )
 
 
+_TASK_STAGE: NerTripleStage | None = None
+
+
+def ner_triples_task(batch: pa.Table) -> pa.Table:
+    """Task-mode NER stage (bench path).
+
+    Ray reuses worker processes across tasks, so the module-global tagger
+    compiles once per worker — same amortization as the actor pool without
+    pool-startup latency. Use ``NerTripleStage`` + ``concurrency=`` (the
+    actor-pool form) when per-worker state is heavy (a real model's weights);
+    the surrogate tagger's state is a ~10 ms regex compile, so tasks win.
+    """
+    global _TASK_STAGE
+    if _TASK_STAGE is None:
+        _TASK_STAGE = NerTripleStage()
+    return _TASK_STAGE(batch)
+
+
 def flatten_spans(batch: pa.Table) -> pa.Table:
     """Extraction rows -> one row per span (url, para_idx, start, end, label, surface)."""
     import pyarrow.compute as pc

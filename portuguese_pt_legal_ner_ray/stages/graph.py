@@ -20,7 +20,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
 from ..functions.normalize import entity_key
-from .joins import BroadcastLookup, hash_join
+from .joins import hash_join
 
 
 def build_nodes(mentions_ds: Dataset, comp_ds: Dataset) -> Dataset:
@@ -55,24 +55,62 @@ def _add_entity_keys(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def make_canonize(mapping_ref):
+    """Task fn: (subj, pred, obj, labels) -> (subj_id, pred, obj_id).
+
+    The broadcast mapping is fetched lazily via ``ray.get`` inside the task
+    (zero-copy from the node-local object store — one transfer per node, not
+    per batch). Normalization (unicode NFKD) dominated this stage's profile;
+    surfaces repeat heavily, so a memo cache makes the hot path a dict
+    lookup.
+    """
+    state: dict = {}
+
+    def canonize(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mapping = state.get("m")
+        if mapping is None:
+            mapping = state["m"] = _ray.get(mapping_ref)
+            state["cache"] = {}
+        cache = state["cache"]
+
+        def _id(label: str, surface: str) -> str:
+            k = cache.get((label, surface))
+            if k is None:
+                ek = entity_key(label, surface)
+                k = mapping.get(ek, ek)
+                cache[(label, surface)] = k
+            return k
+
+        subj = batch["subj"].to_pylist()
+        objv = batch["obj"].to_pylist()
+        sl = batch["subj_label"].to_pylist()
+        ol = batch["obj_label"].to_pylist()
+        return pa.table(
+            {
+                "subj_id": pa.array([_id(l, s) for l, s in zip(sl, subj)], pa.string()),
+                "pred": batch["pred"],
+                "obj_id": pa.array([_id(l, s) for l, s in zip(ol, objv)], pa.string()),
+            }
+        )
+
+    return canonize
+
+
 def build_edges(triples_ds: Dataset, mapping_ref=None, comp_ds: Dataset | None = None) -> Dataset:
     """Canonicalized, weighted edge table from flat triple rows.
 
     ``mapping_ref``: ObjectRef to the key->comp dict (broadcast path);
     ``comp_ds``: (key, comp) Dataset (distributed path). Exactly one given.
     """
-    keyed = triples_ds.map_batches(_add_entity_keys, batch_format="pandas")
     if mapping_ref is not None:
-        keyed = keyed.map_batches(
-            BroadcastLookup, batch_format="pandas",
-            fn_constructor_kwargs=dict(mapping_ref=mapping_ref, key_col="subj_key", out_col="subj_id"),
-            concurrency=(1, 8),
-        ).map_batches(
-            BroadcastLookup, batch_format="pandas",
-            fn_constructor_kwargs=dict(mapping_ref=mapping_ref, key_col="obj_key", out_col="obj_id"),
-            concurrency=(1, 8),
-        )
+        # plain tasks (not an actor pool): the broadcast ref resolves from the
+        # local object store inside each task, and skipping actor startup
+        # latency matters more than cross-batch memoization here
+        keyed = triples_ds.map_batches(make_canonize(mapping_ref), batch_format="pyarrow")
     else:
+        keyed = triples_ds.map_batches(_add_entity_keys, batch_format="pandas")
         sc = comp_ds.map_batches(
             lambda t: pa.table({"subj_key": t["key"], "subj_id": t["comp"]}),
             batch_format="pyarrow",
@@ -82,11 +120,6 @@ def build_edges(triples_ds: Dataset, mapping_ref=None, comp_ds: Dataset | None =
             batch_format="pyarrow",
         )
         keyed = hash_join(hash_join(keyed, sc, key="subj_key"), oc, key="obj_key")
-    return (
-        keyed.groupby(["subj_id", "pred", "obj_id"])
-        .count()
-        .map_batches(
-            lambda t: t.rename_columns(["subj_id", "pred", "obj_id", "weight"]),
-            batch_format="pyarrow",
-        )
-    )
+    from .shuffle import grouped_count
+
+    return grouped_count(keyed, ["subj_id", "pred", "obj_id"], alias="weight")

@@ -28,7 +28,6 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min, Sum
 
 from ..config import LINK_LABELS, LinkingConfig
 from ..functions.blocking import pairs_for_block
@@ -43,13 +42,25 @@ from ..functions.normalize import entity_key
 DRIVER_CC_MAX_KEYS = 2_000_000
 
 
-def spans_to_mentions(spans_ds: Dataset) -> Dataset:
-    """Span rows -> distinct (key, label, surface=min, n=sum) via pre-agg."""
+class MentionPartial:
+    """Per-batch combiner: span rows -> partial (key, label, surface, n).
 
-    def partial(batch: pa.Table) -> pa.Table:
+    Actor state = a (label, surface) -> entity_key memo cache; surfaces
+    repeat heavily, so normalization (unicode NFKD) runs once per distinct
+    surface per actor instead of once per span.
+    """
+
+    def __init__(self):
+        self.cache: dict[tuple[str, str], str] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cache = self.cache
         agg: dict[str, list] = {}
         for label, surf in zip(batch["label"].to_pylist(), batch["surface"].to_pylist()):
-            key = entity_key(label, surf)
+            key = cache.get((label, surf))
+            if key is None:
+                key = entity_key(label, surf)
+                cache[(label, surf)] = key
             cur = agg.get(key)
             if cur is None:
                 agg[key] = [label, surf, 1]
@@ -66,25 +77,37 @@ def spans_to_mentions(spans_ds: Dataset) -> Dataset:
             }
         )
 
-    grouped = (
-        spans_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Min("surface", alias_name="surface"), Sum("n", alias_name="n"))
+
+_TASK_PARTIAL: MentionPartial | None = None
+
+
+def mention_partial_task(batch: pa.Table) -> pa.Table:
+    """Task-mode combiner (bench path): per-worker memo via module global."""
+    global _TASK_PARTIAL
+    if _TASK_PARTIAL is None:
+        _TASK_PARTIAL = MentionPartial()
+    return _TASK_PARTIAL(batch)
+
+
+def spans_to_mentions(spans_ds: Dataset) -> Dataset:
+    """Span rows -> distinct (key, label, surface=min, n=sum).
+
+    Combiner inside ``map_batches`` (MentionPartial, memoized normalization)
+    then a bucketed exact merge (stages/shuffle.grouped_agg) — the shuffle
+    moves partial rows hashed on a small int bucket key, never raw spans.
+    """
+    from .shuffle import grouped_agg
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    partials = spans_ds.map_batches(
+        MentionPartial, batch_format="pyarrow", concurrency=(1, max(2, cpus))
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_pylist()
-        labels = [k.split("|", 1)[0] for k in keys]
-        return pa.table(
-            {
-                "key": batch["key"],
-                "label": pa.array(labels, pa.string()),
-                "surface": batch["surface"],
-                "n": batch["n"],
-            }
-        )
-
-    return grouped.map_batches(finish, batch_format="pyarrow")
+    return grouped_agg(
+        partials,
+        ["key"],
+        {"label": ("label", "min"), "surface": ("surface", "min"), "n": ("n", "sum")},
+        pre_aggregated=True,
+    )
 
 
 class BandStage:
@@ -171,8 +194,9 @@ def canonicalize(
     """
     n_keys = mentions_ds.count()
     if not force_distributed and n_keys <= DRIVER_CC_MAX_KEYS:
-        keys = [r["key"] for r in mentions_ds.select_columns(["key"]).take_all()]
-        pairs = [(r["a"], r["b"]) for r in verified_pairs_ds.take_all()]
+        keys = mentions_ds.select_columns(["key"]).to_pandas()["key"].tolist()
+        pairs_df = verified_pairs_ds.to_pandas()
+        pairs = list(zip(pairs_df["a"], pairs_df["b"]))
         mapping = connected_components_driver(keys, pairs)
         comp_ds = ray.data.from_arrow(
             pa.table(
@@ -182,7 +206,9 @@ def canonicalize(
                 }
             )
         )
-        return comp_ds, ray.put(mapping)
+        # broadcast only non-identity entries (dicts deserialize per task);
+        # consumers default missing keys to identity
+        return comp_ds, ray.put({k: v for k, v in mapping.items() if k != v})
     from ..state.components import connected_components_distributed
 
     comp_ds = connected_components_distributed(

@@ -95,6 +95,16 @@ def test_distributed_cc_matches_driver(mini_run):
         _assert_table_equal(alt, mini_run["golden"], name)
 
 
+def test_bench_pipeline_matches_oracle(mini_run):
+    """run_kg_bench (the fused throughput path) == oracle on nodes/edges."""
+    from portuguese_pt_legal_ner_ray.pipelines.kg import run_kg_bench
+
+    out = mini_run["root"] / "out_bench"
+    run_kg_bench(mini_run["input"], out)
+    for name in ("nodes", "edges"):
+        _assert_table_equal(out, mini_run["golden"], name)
+
+
 def test_resume_after_injected_failure(ray_session, mini_run, tmp_path):
     out = tmp_path / "out_resume"
     with pytest.raises(RuntimeError, match="injected failure"):
