@@ -116,6 +116,14 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
     return result
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
 def _cpu_capacity(n: int, seconds: float = 2.0) -> float:
     """Raw attainable CPU throughput with n busy workers (Miters/s).
 
@@ -127,15 +135,8 @@ def _cpu_capacity(n: int, seconds: float = 2.0) -> float:
     """
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < seconds:
-            x += 1
-        return x
-
     with mp.Pool(n) as pool:
-        return round(sum(pool.map(burn, range(n))) / seconds / 1e6, 1)
+        return round(sum(pool.map(_burn, [seconds] * n)) / seconds / 1e6, 1)
 
 
 SCALING_LEGS = (4, 16)  # N and 4N workers, both within physical cores
