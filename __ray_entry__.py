@@ -229,6 +229,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path = ensure_media_table(500)
         return decode_images(ray.data.read_parquet(str(path)))
 
+    def kg_prediction_counts(sf_dir: str):
+        """Per-paragraph prediction-record shape (reference JSONL output)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = _kg_out(_sf_of(sf_dir))
+
+        def counts(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "para_idx": batch["para_idx"],
+                    "n_labels": pc.cast(
+                        pc.list_value_length(batch["spans"]), pa.int64()
+                    ),
+                }
+            )
+
+        return ray.data.read_parquet(
+            str(out / "extraction"), columns=["url", "para_idx", "spans"]
+        ).map_batches(counts, batch_format="pyarrow")
+
+    def dedup_apply_docs(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.dedup import dedup_apply
+
+        return dedup_apply(_docs(sf_dir))
+
+    def doc_quality_filter(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def filt(batch: pa.Table) -> pa.Table:
+            from portuguese_pt_legal_ner_ray.stages.textops import quality_batch
+
+            q = quality_batch(batch)
+            keep = pc.and_(
+                pc.greater_equal(q["n_tokens"], 30), pc.less_equal(q["n_punct"], 10)
+            )
+            return pa.table({"doc_id": batch["doc_id"]}).filter(keep)
+
+        return _docs(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+    def _spans_pair(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.oracle import ensure_goldens
+
+        sf = _sf_of(sf_dir)
+        gdir = ensure_goldens(sf)
+        out = _kg_out(sf)
+        pred = ray.data.read_parquet(str(out / "graph" / "spans"))
+        gold = ray.data.read_parquet(str(Path(gdir) / "spans.parquet"))
+        return pred, gold
+
+    def kg_span_eval(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.evalx import span_eval
+
+        return span_eval(*_spans_pair(sf_dir))
+
+    def kg_confusion(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.evalx import confusion_matrix
+
+        return confusion_matrix(*_spans_pair(sf_dir))
+
     return {
         "kg_extract_text": kg_extract_text,
         "kg_paragraphs": kg_paragraphs,
@@ -253,6 +315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hour": events_tumbling_hour,
         "events_sessionize": events_sessionize,
         "media_decode": media_decode,
+        "kg_prediction_counts": kg_prediction_counts,
+        "dedup_apply_docs": dedup_apply_docs,
+        "doc_quality_filter": doc_quality_filter,
+        "kg_span_eval": kg_span_eval,
+        "kg_confusion": kg_confusion,
     }
 
 
@@ -372,4 +439,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM read_parquet('{media}') WHERE kind = 'image'""",
+        "kg_prediction_counts": f"""
+            WITH sc AS (SELECT url, para_idx, count(*) AS n
+                        FROM read_parquet('{p['golden']}/spans.parquet')
+                        GROUP BY url, para_idx)
+            SELECT pg.url, pg.para_idx, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_labels
+            FROM read_parquet('{p['golden']}/paragraphs.parquet') pg
+            LEFT JOIN sc ON pg.url = sc.url AND pg.para_idx = sc.para_idx""",
+        "dedup_apply_docs": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+        "doc_quality_filter": f"""
+            SELECT doc_id FROM documents
+            WHERE len(regexp_extract_all(text, '{TOKEN_PATTERN}')) >= 30
+              AND len(regexp_extract_all(text, '{PUNCT_PATTERN}')) <= 10""",
+        "kg_span_eval": f"""
+            SELECT label, count(*) AS tp, CAST(0 AS BIGINT) AS fp,
+                   CAST(0 AS BIGINT) AS fn, CAST(1.0 AS DOUBLE) AS precision,
+                   CAST(1.0 AS DOUBLE) AS recall, CAST(1.0 AS DOUBLE) AS f1
+            FROM read_parquet('{p['golden']}/spans.parquet') GROUP BY label
+            UNION ALL
+            SELECT 'micro', count(*), 0, 0, CAST(1.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+            FROM read_parquet('{p['golden']}/spans.parquet')""",
+        "kg_confusion": f"""
+            SELECT label AS gold_label, label AS pred_label, count(*) AS n
+            FROM read_parquet('{p['golden']}/spans.parquet')
+            GROUP BY label""",
     }

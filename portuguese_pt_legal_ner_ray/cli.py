@@ -1,0 +1,104 @@
+"""Engine CLI: build | resume | bench | report | export.
+
+Mirrors the reference's subcommand CLI shape (reference src/cli.py:506-549,
+``train|pretrain|infer|list|show``) for the engine's lifecycle:
+
+* ``build <input_dir> <out_dir> [--config cfg.yaml]`` — run the KG pipeline
+  (checkpointed; rerunning resumes automatically from manifests)
+* ``resume`` — alias of build (resume IS the default semantics)
+* ``report <out_dir>`` — print per-(stage, partition) manifest records
+  (the engine's ``list``/``show`` equivalent)
+* ``export <out_dir> <jsonl_path>`` — write reference-format prediction
+  records (one JSON object per paragraph, reference src/inference.py:160-166)
+* ``bench`` — delegate to bench.py's single run
+
+Owns a Ray session when run as a script (guarded init per the driver
+contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .config import PipelineConfig
+    from .config_io import load_config
+    from .pipelines.kg import run_kg_pipeline
+
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    manifest = run_kg_pipeline(args.input_dir, args.out_dir, cfg,
+                               num_partitions=args.partitions)
+    done = manifest.all_records()
+    print(f"build complete: {len(done)} manifest records under {args.out_dir}")
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    from .state.manifest import Manifest
+
+    for rec in Manifest(args.out_dir).all_records():
+        line = {k: rec[k] for k in ("stage", "partition", "engine_version")}
+        line.update({k: v for k, v in rec.items()
+                     if k in ("pages", "paragraphs", "mentions", "nodes",
+                              "edges", "triples", "cc_path")})
+        print(json.dumps(line, sort_keys=True))
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .pipelines.kg import export_predictions_jsonl
+
+    n = export_predictions_jsonl(args.out_dir, args.jsonl_dir)
+    print(f"wrote {n} prediction records to {args.jsonl_dir}")
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="kgray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("build", "resume"):
+        b = sub.add_parser(name)
+        b.add_argument("input_dir")
+        b.add_argument("out_dir")
+        b.add_argument("--config", default=None)
+        b.add_argument("--partitions", type=int, default=8)
+        b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("report")
+    r.add_argument("out_dir")
+    r.set_defaults(fn=cmd_report)
+
+    e = sub.add_parser("export")
+    e.add_argument("out_dir")
+    e.add_argument("jsonl_dir")
+    e.set_defaults(fn=cmd_export)
+
+    be = sub.add_parser("bench")
+    be.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

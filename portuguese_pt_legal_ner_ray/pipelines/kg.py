@@ -307,6 +307,40 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
     }
 
 
+def export_predictions_jsonl(out_dir: str | Path, jsonl_dir: str | Path) -> int:
+    """Reference-format prediction records from a pipeline run.
+
+    One JSON object per non-empty paragraph — ``{"text": paragraph,
+    "labels": [[start, end, label], ...]}`` — paragraphs with zero entities
+    included, scores dropped on output (reference src/inference.py:119-128,
+    160-166; format doc INFERENCE_README.md:74-86). Written via
+    ``ds.write_json`` as a directory of JSONL part files (never one giant
+    file).
+    """
+
+    def to_records(batch: pa.Table):
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        lists = batch["spans"].combine_chunks()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        per_row: list[list[list]] = [[] for _ in range(len(batch))]
+        for p, s, e, l in zip(parent, flat.field("start").to_pylist(),
+                              flat.field("end").to_pylist(),
+                              flat.field("label").to_pylist()):
+            per_row[p].append([s, e, l])  # [start, end, "LABEL"] triplets
+        return pd.DataFrame({"text": batch["para_text"].to_pylist(),
+                             "labels": per_row})
+
+    out_dir = Path(out_dir)
+    ds = ray.data.read_parquet(str(out_dir / "extraction"),
+                               columns=["para_text", "spans"])
+    ds = ds.map_batches(to_records, batch_format="pyarrow")
+    ds.write_json(str(jsonl_dir))
+    return parquet_row_count(out_dir / "extraction")
+
+
 def read_graph_table(out_dir: str | Path, name: str) -> Dataset:
     sub = {"spans": "graph/spans", "triples": "graph/triples",
            "nodes": "graph/nodes", "edges": "graph/edges",

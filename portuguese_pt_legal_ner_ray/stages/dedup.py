@@ -34,6 +34,22 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Keep-first application of exact dedup: rows whose id is the min id of
+    their text group. Semi-join via broadcast keep-set (``ray.put`` once,
+    vectorized ``is_in`` per batch) — no second shuffle over the corpus."""
+    import ray
+
+    keep = exact_dedup(docs, text_col, id_col).select_columns(["keep_id"]).to_pandas()
+    keep_ref = ray.put(set(keep["keep_id"].tolist()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep_ids = pa.array(sorted(ray.get(keep_ref)), pa.int64())
+        return batch.filter(pc.is_in(batch[id_col], value_set=keep_ids))
+
+    return docs.select_columns([id_col, text_col]).map_batches(filt, batch_format="pyarrow")
+
+
 class MinhashBandStage:
     """doc -> one row per LSH band: (band, doc_id). Stateful hasher per actor."""
 

@@ -59,6 +59,6 @@ def parquet_row_count(path: str | Path) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for f in sorted(Path(path).glob("*.parquet")):
+    for f in sorted(Path(path).rglob("*.parquet")):
         total += pq.ParquetFile(f).metadata.num_rows
     return total

@@ -34,22 +34,6 @@ def _assert_table_equal(out_dir, golden, name):
     assert got.equals(want.cast(got.schema)), f"{name} table mismatch"
 
 
-@pytest.fixture(scope="session")
-def mini_run(ray_session, tmp_path_factory):
-    """200-page corpus (4 shards) -> pipeline run + oracle goldens."""
-    root = tmp_path_factory.mktemp("mini")
-    inp = root / "webpages"
-    inp.mkdir()
-    tables = [gen_pages_shard(s, s * 50, 50) for s in range(4)]
-    for s, t in enumerate(tables):
-        pq.write_table(t, inp / f"part-{s:05d}.parquet")
-    import pyarrow as pa
-
-    pages = pa.concat_tables(tables)
-    golden = run_oracle(pages)
-    out = root / "out"
-    run_kg_pipeline(inp, out, num_partitions=4)
-    return {"input": inp, "out": out, "golden": golden, "pages": pages, "root": root}
 
 
 def test_extracted_text_byte_identity(mini_run):

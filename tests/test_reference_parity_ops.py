@@ -1,0 +1,185 @@
+"""Reference-parity operators: CoNLL source (S1/S6), label alignment (M4/M6),
+eval metrics (G1/G2/G3), YAML config (S8), prediction export (S4), CLI."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from portuguese_pt_legal_ner_ray.config import ID_TO_LABEL, LABEL_TO_ID, PipelineConfig
+from portuguese_pt_legal_ner_ray.config_io import load_config, save_config
+from portuguese_pt_legal_ner_ray.functions.align import (
+    IGNORE_ID,
+    chunk_subwords,
+    strip_masked,
+    tokenize_and_align_labels,
+)
+from portuguese_pt_legal_ner_ray.sources.conll import (
+    conll_to_table,
+    read_conll_file,
+    write_sample_conll,
+)
+
+
+# -- CoNLL reader (reference src/data.py:53-95) ------------------------------
+
+def test_conll_roundtrip(tmp_path):
+    p = write_sample_conll(tmp_path / "train.conll")
+    sents, labels = read_conll_file(p)
+    assert len(sents) == 3 and all(len(s) == 6 for s in sents)
+    assert labels[0][3] == "B-IDP" and labels[1][0] == "B-PER"
+
+
+def test_conll_edge_cases(tmp_path):
+    p = tmp_path / "edge.conll"
+    p.write_text("a\tO\nmalformed_line\nb\tB-PER\n\n\nc\tO", encoding="utf-8")
+    sents, labels = read_conll_file(p)
+    # malformed line silently skipped; trailing sentence without blank kept
+    assert sents == [["a", "b"], ["c"]]
+    assert labels == [["O", "B-PER"], ["O"]]
+
+
+def test_conll_missing_file():
+    assert read_conll_file("/nonexistent/x.conll") == ([], [])
+
+
+def test_conll_to_arrow(tmp_path):
+    p = write_sample_conll(tmp_path / "t.conll")
+    t = conll_to_table(p)
+    assert t.schema.field("tokens").type == pa.list_(pa.string())
+    assert t.num_rows == 3
+
+
+# -- tokenize + align (reference src/data.py:156-206) ------------------------
+
+def test_align_first_subword_gets_label():
+    out = tokenize_and_align_labels(["processo", "de", "João"],
+                                    ["B-IDP", "O", "B-PER"])
+    assert out["tokens"][0] == "[CLS]" and out["tokens"][-1] == "[SEP]"
+    assert out["label_ids"][0] == IGNORE_ID and out["label_ids"][-1] == IGNORE_ID
+    # 'processo' -> proc ##esso: first gets B-IDP id, continuation masked
+    assert out["label_ids"][1] == LABEL_TO_ID["B-IDP"]
+    assert out["label_ids"][2] == IGNORE_ID
+    assert out["tokens"][2] == "##esso"
+
+
+def test_align_truncation():
+    out = tokenize_and_align_labels(["word"] * 600, ["O"] * 600, max_length=64)
+    assert len(out["tokens"]) == 64 and out["tokens"][-1] == "[SEP]"
+    assert out["label_ids"][-1] == IGNORE_ID
+
+
+def test_strip_masked():
+    gold = [IGNORE_ID, LABEL_TO_ID["B-PER"], IGNORE_ID, LABEL_TO_ID["O"]]
+    pred = [LABEL_TO_ID["O"], LABEL_TO_ID["B-PER"], LABEL_TO_ID["O"], LABEL_TO_ID["B-LOC"]]
+    g, p = strip_masked(gold, pred, ID_TO_LABEL)
+    assert g == ["B-PER", "O"] and p == ["B-PER", "B-LOC"]
+
+
+def test_chunk_subwords():
+    assert chunk_subwords("abc") == ["abc"]
+    assert chunk_subwords("abcdefghij") == ["abcd", "##efgh", "##ij"]
+
+
+# -- span eval (G1/G2) + confusion (G3) --------------------------------------
+
+@pytest.fixture()
+def eval_spans(ray_session):
+    import ray
+
+    gold = ray.data.from_arrow(pa.table({
+        "url": ["u1", "u1", "u2", "u2"],
+        "para_idx": [0, 0, 1, 1],
+        "start": [0, 10, 5, 20],
+        "end": [4, 16, 9, 26],
+        "label": ["PER", "LOC", "ORG", "DAT"],
+    }))
+    pred = ray.data.from_arrow(pa.table({
+        "url": ["u1", "u1", "u2", "u2"],
+        "para_idx": [0, 0, 1, 1],
+        "start": [0, 10, 5, 30],       # DAT span missed; spurious span at 30
+        "end": [4, 16, 9, 33],
+        "label": ["PER", "ORG", "ORG", "PER"],   # LOC mislabelled as ORG
+    }))
+    return pred, gold
+
+
+def test_span_eval_counts(eval_spans):
+    from portuguese_pt_legal_ner_ray.stages.evalx import span_eval
+
+    df = span_eval(*eval_spans).set_index("label")
+    assert df.loc["PER"].tp == 1 and df.loc["PER"].fp == 1  # spurious PER
+    assert df.loc["ORG"].tp == 1 and df.loc["ORG"].fp == 1  # mislabelled LOC->ORG
+    assert df.loc["LOC"].fn == 1 and df.loc["DAT"].fn == 1
+    micro = df.loc["micro"]
+    assert micro.tp == 2 and micro.fp == 2 and micro.fn == 2
+    assert abs(micro.precision - 0.5) < 1e-9 and abs(micro.f1 - 0.5) < 1e-9
+
+
+def test_confusion_matrix_sorted(eval_spans):
+    from portuguese_pt_legal_ner_ray.stages.evalx import confusion_matrix
+
+    cm = confusion_matrix(*eval_spans)
+    rows = list(cm.itertuples(index=False))
+    assert ("LOC", "ORG", 1) in [(r.gold_label, r.pred_label, r.n) for r in rows]
+    # deterministic sorted axis (not the reference's set() order bug)
+    assert list(cm["gold_label"]) == sorted(cm["gold_label"])
+
+
+# -- YAML config round-trip (S8) ---------------------------------------------
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = PipelineConfig(confidence_threshold=0.6, ner_batch_size=512,
+                         ner_concurrency=(2, 4))
+    p = save_config(cfg, tmp_path / "cfg.yaml")
+    loaded = load_config(p)
+    assert loaded == cfg
+
+
+def test_config_yaml_partial(tmp_path):
+    (tmp_path / "c.yaml").write_text("confidence_threshold: 0.7\nlinking:\n  num_bands: 4\n")
+    cfg = load_config(tmp_path / "c.yaml")
+    assert cfg.confidence_threshold == 0.7
+    assert cfg.linking.num_bands == 4
+    assert cfg.ner_batch_size == 1024  # defaults preserved
+
+
+# -- prediction export (S4) + CLI --------------------------------------------
+
+def test_export_predictions_jsonl(mini_run, tmp_path):
+    from portuguese_pt_legal_ner_ray.pipelines.kg import export_predictions_jsonl
+
+    out = tmp_path / "preds"
+    n = export_predictions_jsonl(mini_run["out"], out)
+    records = []
+    for f in sorted(out.glob("*.json")):
+        for line in f.read_text().splitlines():
+            records.append(json.loads(line))
+    assert len(records) == n > 0
+    golden = mini_run["golden"]
+    want = {}
+    for u, i, s, e, l in zip(golden["spans"]["url"].to_pylist(),
+                             golden["spans"]["para_idx"].to_pylist(),
+                             golden["spans"]["start"].to_pylist(),
+                             golden["spans"]["end"].to_pylist(),
+                             golden["spans"]["label"].to_pylist()):
+        want.setdefault((u, i), []).append([s, e, l])
+    paras = {(u, i): t for u, i, t in zip(golden["paragraphs"]["url"].to_pylist(),
+                                          golden["paragraphs"]["para_idx"].to_pylist(),
+                                          golden["paragraphs"]["para_text"].to_pylist())}
+    by_text: dict[str, list] = {}
+    for key, text in paras.items():
+        by_text.setdefault(text, []).append(sorted(want.get(key, [])))
+    for rec in records[:200]:
+        assert sorted(rec["labels"]) in by_text[rec["text"]]
+
+
+def test_cli_report_and_build(mini_run, capsys, tmp_path):
+    from portuguese_pt_legal_ner_ray.cli import main
+
+    assert main(["report", str(mini_run["out"])]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = {l["stage"] for l in lines}
+    assert stages == {"extract", "graph"}
+    # build on an already-complete out_dir resumes instantly via manifests
+    assert main(["build", str(mini_run["input"]), str(mini_run["out"])]) == 0

@@ -1,0 +1,181 @@
+"""Training-data operators: text analysis, dedup, similarity, windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs(ray_session):
+    import ray
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog.",
+        "The quick brown fox jumps over the lazy dog.",   # exact dup of 0
+        "The quick brown fox jumped over the lazy dogs.",  # near dup of 0
+        "Completely different content about databases and tables.",
+        "la casa es una de las mejores por los precios",
+    ]
+    return ray.data.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                                         "text": pa.array(texts, pa.string())}))
+
+
+def test_token_and_quality(docs):
+    from portuguese_pt_legal_ner_ray.stages.textops import quality_batch, token_count_batch
+
+    t = docs.map_batches(token_count_batch, batch_format="pyarrow").to_pandas()
+    assert t.set_index("doc_id").loc[0, "n_tokens"] == 9
+    q = docs.map_batches(quality_batch, batch_format="pyarrow").to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_punct"] == 1
+    assert q.loc[0, "n_chars"] == 44
+    assert q.loc[0, "n_capitalized"] == 1  # "The" (second "the" lowercase)
+
+
+def test_langid(docs):
+    from portuguese_pt_legal_ner_ray.stages.textops import langid_batch
+
+    out = docs.map_batches(langid_batch, batch_format="pyarrow").to_pandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[4, "pred_lang"] == "es"
+
+
+def test_fingerprint_and_simhash(docs):
+    from portuguese_pt_legal_ner_ray.stages.textops import fingerprint_batch, simhash_batch
+
+    f = docs.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    assert f.loc[0, "fingerprint"] == f.loc[1, "fingerprint"]
+    assert f.loc[0, "fingerprint"] != f.loc[3, "fingerprint"]
+    s = docs.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
+    assert s.loc[0, "simhash"] == s.loc[1, "simhash"]
+    ham = bin(int(s.loc[0, "simhash"]) ^ int(s.loc[2, "simhash"])).count("1")
+    assert ham <= 16  # near-dup -> close simhash
+    ham_far = bin(int(s.loc[0, "simhash"]) ^ int(s.loc[3, "simhash"])).count("1")
+    assert ham_far > ham
+
+
+def test_exact_dedup(docs):
+    from portuguese_pt_legal_ner_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(docs).to_pandas()
+    assert len(out) == 4  # 5 docs, one exact dup
+    dup_row = out[out["n_dups"] == 2].iloc[0]
+    assert dup_row["keep_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.dedup import minhash_lsh_pairs
+
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, docs_ref=ray.put(texts)).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found and (0, 2) in found
+    assert not any(3 in p for p in found)
+
+
+def test_simhash_buckets_colocate_dups(ray_session):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.dedup import simhash_buckets
+
+    # long docs differing by one token -> small hamming distance -> the
+    # 4x16-bit sub-band blocking must share >= 1 bucket (pigeonhole for d<=3)
+    base = " ".join(f"token{i}" for i in range(200))
+    variant = base.replace("token7 ", "tokenX ")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base, base, variant], pa.string()),
+    }))
+    b = simhash_buckets(ds).to_pandas()
+    by_doc = b.groupby("doc_id")["bucket"].apply(set)
+    assert by_doc[0] == by_doc[1]               # identical docs: all buckets shared
+    assert by_doc[0] & by_doc[2]                # near dup: >=1 shared bucket
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import brute_force_topk, make_query_ref
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(100, 16))
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    qref = make_query_ref(vecs, [0, 1])
+    got = brute_force_topk(vecs, qref, k=5).to_pandas()
+    m32 = mat.astype(np.float32).astype(np.float64)
+    m = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = m @ m[qid]
+        order = sorted(range(100), key=lambda i: (-sims[i], i))
+        want = [i for i in order if i != qid][:5]
+        assert list(got[got["query_id"] == qid]["vec_id"]) == want
+
+
+def test_ivf_recall_reasonable(ray_session):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        make_query_ref,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(200, 8))
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+    }))
+    qref = make_query_ref(vecs, [5])
+    exact = set(brute_force_topk(vecs, qref, k=10).to_pandas()["vec_id"])
+    approx = set(ivf_topk(vecs, qref, k=10, n_cells=8, nprobe=4).to_pandas()["vec_id"])
+    assert len(exact & approx) >= 5  # >=50% recall probing half the cells
+
+
+def test_tumbling_window_and_sessionize(ray_session):
+    import pandas as pd
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.windows import sessionize, tumbling_window
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:05", "2024-01-01 10:50", "2024-01-01 11:15",  # u1: 2 sessions
+        "2024-01-01 10:10", "2024-01-01 13:00",                       # u2: 2 sessions
+    ])
+    events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    }))
+    w = tumbling_window(events).to_pandas()
+    row = w[(w["window_start"] == pd.Timestamp("2024-01-01 10:00")) & (w["event_type"] == "a")]
+    assert int(row["n_events"].iloc[0]) == 2
+    assert float(row["min_value"].iloc[0]) == 1.0 and float(row["max_value"].iloc[0]) == 4.0
+
+    s = sessionize(events, gap_minutes=30).to_pandas().sort_values(["user_id", "session_idx"])
+    u1 = s[s["user_id"] == 1]
+    assert list(u1["n_events"]) == [1, 2]  # 10:05 | 10:50+11:40
+    u2 = s[s["user_id"] == 2]
+    assert list(u2["n_events"]) == [1, 1]
+
+
+def test_multimodal_decode(ray_session, tmp_path):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.sources.multimodal import (
+        decode_images,
+        ensure_media_table,
+    )
+
+    path = ensure_media_table(60, root=str(tmp_path))
+    out = decode_images(ray.data.read_parquet(str(path))).to_pandas()
+    assert (out["decode_ok"]).all()
+    assert (out["width"] == 64 + out["doc_id"] % 1216).all()
+    assert (out["height"] == 64 + out["doc_id"] % 656).all()
