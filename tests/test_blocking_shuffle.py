@@ -1,0 +1,104 @@
+"""Hot-key salting (SURVEY.md §7 step 6b) and bucketed shuffle helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from portuguese_pt_legal_ner_ray.config import LinkingConfig
+from portuguese_pt_legal_ner_ray.functions.blocking import SALT_THRESHOLD, pairs_for_block
+from portuguese_pt_legal_ner_ray.functions.minhash import MinHasher, jaccard, shingles
+
+
+def test_small_block_sorted_neighborhood():
+    cfg = LinkingConfig(window=2)
+    pairs = pairs_for_block(["c", "a", "b", "d"], cfg)
+    assert ("a", "b") in pairs and ("a", "c") in pairs
+    assert ("a", "d") not in pairs  # outside window
+    assert pairs == pairs_for_block(["d", "b", "a", "c"], cfg)  # order-free
+
+
+def test_hot_block_salted_pairing_deterministic_and_connected():
+    cfg = LinkingConfig()
+    members = [f"entity variant {i:04d}" for i in range(SALT_THRESHOLD * 3)]
+    pairs = pairs_for_block(members, cfg)
+    assert pairs  # capped but non-empty
+    assert len(pairs) <= cfg.max_block_pairs
+    # pure function of the member set: shuffled input -> identical pairs
+    rng = np.random.default_rng(1)
+    shuffled = list(members)
+    rng.shuffle(shuffled)
+    assert pairs_for_block(shuffled, cfg) == pairs
+    # salt-group representatives are chained, so the block stays connectable
+    parent = {m: m for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(m) for m in members}) == 1
+
+
+def test_minhash_band_recall_at_threshold():
+    """Pairs at Jaccard >= 0.5 should share >= 1 of 8 bands w.h.p."""
+    h = MinHasher(16, 3)
+    hits = 0
+    n = 30
+    for i in range(n):
+        a = f"tribunal da relacao de lisboa {i}"
+        b = f"tribunal relacao de lisboa {i}"
+        assert jaccard(shingles(a, 3), shingles(b, 3)) >= 0.5
+        if set(h.band_keys(a, 8)) & set(h.band_keys(b, 8)):
+            hits += 1
+    assert hits >= n * 0.9
+
+
+def test_minhash_signature_stable_across_calls():
+    a = MinHasher(16, 3).signature("banco de portugal")
+    b = MinHasher(16, 3).signature("banco de portugal")
+    assert (a == b).all()
+
+
+@pytest.fixture()
+def rand_tbl():
+    rng = np.random.default_rng(11)
+    n = 5000
+    return pa.table(
+        {
+            "k1": pa.array([f"k{int(x)}" for x in rng.integers(0, 200, n)], pa.string()),
+            "k2": pa.array([f"g{int(x)}" for x in rng.integers(0, 5, n)], pa.string()),
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+            "s": pa.array([f"s{int(x):03d}" for x in rng.integers(0, 1000, n)], pa.string()),
+        }
+    )
+
+
+def test_grouped_count_matches_pandas(ray_session, rand_tbl):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.shuffle import grouped_count
+
+    ds = ray.data.from_arrow(rand_tbl).repartition(8)
+    got = grouped_count(ds, ["k1", "k2"], alias="n").to_pandas()
+    want = rand_tbl.to_pandas().groupby(["k1", "k2"]).size().reset_index(name="n")
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_grouped_agg_matches_pandas(ray_session, rand_tbl):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.shuffle import grouped_agg
+
+    ds = ray.data.from_arrow(rand_tbl).repartition(8)
+    got = grouped_agg(ds, ["k1"], {"mn": ("s", "min"), "mx": ("s", "max"),
+                                   "tot": ("v", "sum")}).to_pandas()
+    want = (rand_tbl.to_pandas().groupby("k1")
+            .agg(mn=("s", "min"), mx=("s", "max"), tot=("v", "sum")).reset_index())
+    got = got.sort_values("k1").reset_index(drop=True)[["k1", "mn", "mx", "tot"]]
+    want = want.sort_values("k1").reset_index(drop=True)
+    assert got.equals(want)
