@@ -286,6 +286,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return span_eval(*_spans_pair(sf_dir))
 
+    from portuguese_pt_legal_ner_ray.stages import relational
+
+    def rel_customers_per_region(sf_dir: str):
+        return relational.customers_per_region(sf_dir)
+
+    def rel_orders_per_nation(sf_dir: str):
+        return relational.orders_per_nation(sf_dir)
+
+    def rel_top_orders(sf_dir: str):
+        return relational.top_orders(sf_dir)
+
+    def docs_longest_per_lang(sf_dir: str):
+        return relational.longest_doc_per_lang(sf_dir)
+
+    def docs_hash_split(sf_dir: str):
+        return relational.hash_split(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        )
+
+    def events_sliding_hour(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.windows import sliding_window
+
+        return sliding_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
     def kg_confusion(sf_dir: str):
         from portuguese_pt_legal_ner_ray.stages.evalx import confusion_matrix
 
@@ -320,6 +345,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": doc_quality_filter,
         "kg_span_eval": kg_span_eval,
         "kg_confusion": kg_confusion,
+        "rel_customers_per_region": rel_customers_per_region,
+        "rel_orders_per_nation": rel_orders_per_nation,
+        "rel_top_orders": rel_top_orders,
+        "docs_longest_per_lang": docs_longest_per_lang,
+        "docs_hash_split": docs_hash_split,
+        "events_sliding_hour": events_sliding_hour,
     }
 
 
@@ -466,4 +497,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT label AS gold_label, label AS pred_label, count(*) AS n
             FROM read_parquet('{p['golden']}/spans.parquet')
             GROUP BY label""",
+        "rel_customers_per_region": """
+            SELECT r.r_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
+        "rel_orders_per_nation": """
+            SELECT n.n_name, count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "rel_top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "docs_longest_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, length(text) AS n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY length(text) DESC, doc_id) AS rk
+              FROM documents) WHERE rk = 1""",
+        "docs_hash_split": """
+            SELECT doc_id, text FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 8, 1) IN ('0', '8')""",
+        "events_sliding_hour": """
+            WITH e AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb,
+                              event_type FROM events),
+                 x AS (SELECT tb - (k.k * INTERVAL '15 minutes') AS window_start,
+                              event_type
+                       FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM x GROUP BY 1, 2""",
     }

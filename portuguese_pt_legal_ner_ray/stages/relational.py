@@ -1,0 +1,135 @@
+"""Relational compositions over the TPC-H-ish tables: joins, grouped
+aggregates, per-group top-k, deterministic splits.
+
+These exercise the engine's generic join/shuffle machinery (stages/joins,
+stages/shuffle) on classic shapes:
+
+* broadcast (dimension) join — small side via ``ray.put`` once
+* partitioned hash join — both sides large (stages/joins.hash_join)
+* pre-aggregate-then-join — shuffle partial counts, not raw fact rows
+* per-group top-k — groupby + within-group vectorized head
+* deterministic hash split — md5-prefix bucketing replaces seeded RNG
+  splits (reference ``train_test_split(0.1)``, src/cli.py:254): a pure
+  function of row content, so the split is identical at any parallelism
+  and SQL-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from .joins import hash_join
+from .shuffle import grouped_count
+
+
+def customers_per_region(sf_dir: str) -> Dataset:
+    """customer ⋈ nation ⋈ region (both dims broadcast) -> (r_name, n_customers)."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    def add_region(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lookup_ref)
+        return pd.DataFrame({"r_name": [m[k] for k in batch["c_nationkey"]]})
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    return grouped_count(cust.map_batches(add_region, batch_format="pandas"),
+                         ["r_name"], alias="n_customers")
+
+
+def orders_per_nation(sf_dir: str) -> Dataset:
+    """orders ⋈ customer via the partitioned hash join -> (n_name, n_orders).
+
+    The fact side is pre-aggregated to (custkey, count) BEFORE the join, so
+    the shuffle moves one row per customer, not per order.
+    """
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = grouped_count(orders, ["o_custkey"], alias="n_orders").map_batches(
+        lambda t: pa.table({"custkey": t["o_custkey"], "n_orders": t["n_orders"]}),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(per_cust, cust, key="custkey")
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def add_name(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(name_ref)
+        batch["n_name"] = [m[k] for k in batch["c_nationkey"]]
+        return batch[["n_name", "n_orders"]]
+
+    from .shuffle import grouped_agg
+
+    return grouped_agg(
+        joined.map_batches(add_name, batch_format="pandas"),
+        ["n_name"],
+        {"n_orders": ("n_orders", "sum")},
+        pre_aggregated=True,
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10) -> Dataset:
+    """Global top-k by totalprice, orderkey tiebreak (sort + limit)."""
+    return (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def longest_doc_per_lang(sf_dir: str) -> Dataset:
+    """Per-group top-1: (lang, doc_id, n_chars) of the longest doc per lang;
+    ties break on the smaller doc_id (order-free)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(1)[["lang", "doc_id", "n_chars"]]
+
+    return (
+        docs.map_batches(measure, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(top1, batch_format="pandas")
+    )
+
+
+def hash_split(docs: Dataset, bucket: int = 0, out_of: int = 8,
+               id_col: str = "doc_id") -> Dataset:
+    """Deterministic held-out split: rows whose md5(id) lands in ``bucket``.
+
+    A pure function of row content — identical at any parallelism, unlike a
+    seeded random split whose assignment depends on row order.
+    """
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = [
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big") % out_of
+            == bucket
+            for v in batch[id_col].to_pylist()
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return docs.map_batches(filt, batch_format="pyarrow")

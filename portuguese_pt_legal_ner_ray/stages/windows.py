@@ -55,6 +55,47 @@ def tumbling_window(events: Dataset, every: str = "hour") -> Dataset:
     )
 
 
+def sliding_window(events: Dataset, size_minutes: int = 60,
+                   slide_minutes: int = 15) -> Dataset:
+    """Overlapping windows: each event lands in ``size/slide`` windows.
+
+    Expansion is vectorized (one Arrow concat per window offset), the count
+    is the bucketed combiner shuffle — the all-to-all moves one partial row
+    per (window, type, batch), not one per event copy.
+    -> (window_start, event_type, n_events)
+    """
+    assert size_minutes % slide_minutes == 0
+    k = size_minutes // slide_minutes
+
+    def expand(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch["ts"], multiple=slide_minutes, unit="minute")
+        base = pc.cast(base, pa.timestamp("us"))
+        parts = []
+        for j in range(k):
+            off = pa.scalar(j * slide_minutes * 60_000_000, pa.duration("us"))
+            parts.append(pa.table({
+                "window_start": pc.subtract(base, off),
+                "event_type": batch["event_type"],
+            }))
+        return pa.concat_tables(parts)
+
+    from .shuffle import grouped_count
+
+    out = grouped_count(
+        events.select_columns(["ts", "event_type"]).map_batches(expand, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        alias="n_events",
+    )
+
+    def recast(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", pc.cast(batch["window_start"], pa.timestamp("us"))
+        )
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
 def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
     """Gap-based sessions: (user_id, session_idx, n_events, session_start,
     session_end). A new session starts when the time since the previous
