@@ -180,7 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def near_dup_minhash(sf_dir: str):
         docs = _docs(sf_dir)
-        texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+        df = docs.to_pandas()  # block-level concat; never take_all
+        texts = dict(zip(df["doc_id"], df["text"]))
         import ray as _ray
 
         return minhash_lsh_pairs(docs, threshold=0.5, docs_ref=_ray.put(texts))
@@ -311,6 +312,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sliding_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
+    def media_resize(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.sources.multimodal import resize_metadata
+
+        path = ensure_media_table(500)
+        return resize_metadata(decode_images(ray.data.read_parquet(str(path))))
+
     def kg_confusion(sf_dir: str):
         from portuguese_pt_legal_ner_ray.stages.evalx import confusion_matrix
 
@@ -351,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_longest_per_lang": docs_longest_per_lang,
         "docs_hash_split": docs_hash_split,
         "events_sliding_hour": events_sliding_hour,
+        "media_resize": media_resize,
     }
 
 
@@ -529,4 +537,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
             SELECT window_start, event_type, count(*) AS n_events
             FROM x GROUP BY 1, 2""",
+        "media_resize": f"""
+            WITH d AS (SELECT doc_id,
+                              64 + doc_id % 1216 AS w, 64 + doc_id % 656 AS h
+                       FROM read_parquet('{media}') WHERE kind = 'image')
+            SELECT doc_id,
+                   CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                        ELSE w * 256 // greatest(w, h) END AS BIGINT) AS new_width,
+                   CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                        ELSE h * 256 // greatest(w, h) END AS BIGINT) AS new_height
+            FROM d""",
     }

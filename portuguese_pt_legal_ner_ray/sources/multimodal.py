@@ -100,6 +100,55 @@ def decode_images(media: Dataset) -> Dataset:
     )
 
 
+def resize_metadata(decoded: Dataset, max_side: int = 256) -> Dataset:
+    """Resize planning on decoded image metadata (aspect-preserving fit).
+
+    Integer math only (scale = max_side / longer side, floor) so the output
+    is deterministic and oracle-checkable; a real implementation would apply
+    the same plan to pixel buffers inside the decode actor pool.
+    """
+    import pyarrow.compute as pc
+
+    def plan(batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_pylist()
+        h = batch["height"].to_pylist()
+        new_w, new_h = [], []
+        for wi, hi in zip(w, h):
+            longer = max(wi, hi)
+            if longer <= max_side:
+                nw, nh = wi, hi
+            else:
+                nw = wi * max_side // longer
+                nh = hi * max_side // longer
+            new_w.append(nw)
+            new_h.append(nh)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "new_width": pa.array(new_w, pa.int64()),
+                "new_height": pa.array(new_h, pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(plan, batch_format="pyarrow")
+
+
+def frame_sample_plan(media: Dataset, every_n_bytes: int = 64) -> Dataset:
+    """Frame-sampling plan for (fake) video payloads: one row per sampled
+    offset — the explode-shaped plumbing a real frame sampler needs."""
+    def plan(batch: pa.Table) -> pa.Table:
+        ids, offs = [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(),
+                                   batch["payload"].to_pylist()):
+            for off in range(12, len(payload), every_n_bytes):
+                ids.append(doc_id)
+                offs.append(off)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "frame_offset": pa.array(offs, pa.int64())})
+
+    return media.map_batches(plan, batch_format="pyarrow", batch_size=256)
+
+
 def decode_audio(media: Dataset) -> Dataset:
     """Audio decode needs a codec not present in this container."""
     raise NotImplementedError(

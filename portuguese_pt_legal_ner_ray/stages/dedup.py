@@ -145,8 +145,8 @@ def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,
     """
     import ray
 
-    rows = docs.select_columns(["doc_id", text_col]).take_all()
-    items = sorted((r["doc_id"], frozenset(r[text_col])) for r in rows)
+    df = docs.select_columns(["doc_id", text_col]).to_pandas()
+    items = sorted((i, frozenset(t)) for i, t in zip(df["doc_id"], df[text_col]))
     items_ref = ray.put(items)  # broadcast once; outer loop is distributed
 
     class PairScan:

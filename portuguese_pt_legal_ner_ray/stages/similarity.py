@@ -105,11 +105,16 @@ def brute_force_topk(
 def make_query_ref(vectors: Dataset, query_ids: list[int],
                    emb_col: str = "embedding", id_col: str = "vec_id"):
     """Collect the (small) query vectors and broadcast them once."""
-    qset = set(query_ids)
-    rows = vectors.filter(lambda r: r[id_col] in qset).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    id_arr = _pa.array(sorted(set(query_ids)), _pa.int64())
+    df = vectors.map_batches(
+        lambda t: t.filter(_pc.is_in(t[id_col], value_set=id_arr)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    mat = np.array(df[emb_col].tolist(), dtype=np.float64)
+    ids = df[id_col].to_numpy(dtype=np.int64)
     return ray.put({"ids": ids, "mat": mat})
 
 
@@ -122,8 +127,8 @@ def deterministic_centroids(vectors: Dataset, n_cells: int,
                             emb_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Seedless, order-free centroid pick: the ``n_cells`` vectors with the
     smallest ids (deterministic at any parallelism), L2-normalized."""
-    rows = vectors.sort(id_col).limit(n_cells).take_all()
-    return _norm_rows(np.array([r[emb_col] for r in rows], dtype=np.float64))
+    df = vectors.sort(id_col).limit(n_cells).to_pandas()
+    return _norm_rows(np.array(df[emb_col].tolist(), dtype=np.float64))
 
 
 def ivf_topk(
