@@ -87,7 +87,64 @@ class Span:
     score: float
 
 
-class RegexGazetteerTagger:
+class Tagger:
+    """Pluggable tagger interface (SURVEY.md §7): one method, paragraph in,
+    filtered spans out. Implementations: :class:`RegexGazetteerTagger`
+    (deterministic surrogate, used by tests/benches and the oracle) and
+    :class:`HFTagger` (real checkpoint; requires transformers)."""
+
+    def tag_paragraph(self, text: str) -> list["Span"]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class HFTagger(Tagger):
+    """HF token-classification checkpoint behind the same decode path.
+
+    Reference-faithful plan (src/inference.py:65-96, 185-216): tokenizer with
+    ``return_offsets_mapping=True``, batched forward pass with dynamic
+    padding (see ``length_sorted_batches``), argmax per token, then the
+    SHARED ``decode_simple`` + threshold/validity filters — so swapping the
+    model never changes decode semantics. Unavailable in this sandbox
+    (no transformers / no network), so construction raises with guidance.
+    """
+
+    def __init__(self, model_path: str, confidence_threshold: float = CONFIDENCE_THRESHOLD):
+        try:
+            import transformers  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - always in this sandbox
+            raise NotImplementedError(
+                "HFTagger needs the 'transformers' package and a local "
+                "checkpoint; use RegexGazetteerTagger in this environment"
+            ) from exc
+
+
+def length_sorted_batches(texts: list[str], token_budget: int = 8192):
+    """Dynamic-padding batch plan: indices sorted by token length, grouped
+    so each sub-batch's ``len(batch) * max_len`` stays under the budget —
+    the padding-waste minimizer a real model forward pass needs (reference's
+    dead ``batch_size: 16`` config replaced by true batching, SURVEY.md
+    §2.3 A1). Returns a list of index lists; order within the caller's
+    output must be restored by the caller (semantics-neutral).
+    """
+    lengths = [len(tokenize_with_offsets(t)) for t in texts]
+    order = sorted(range(len(texts)), key=lambda i: (lengths[i], i))
+    batches: list[list[int]] = []
+    cur: list[int] = []
+    cur_max = 0
+    for i in order:
+        new_max = max(cur_max, max(1, lengths[i]))
+        if cur and (len(cur) + 1) * new_max > token_budget:
+            batches.append(cur)
+            cur, cur_max = [], 0
+            new_max = max(1, lengths[i])
+        cur.append(i)
+        cur_max = new_max
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+class RegexGazetteerTagger(Tagger):
     """Token-level BIO tagger + "simple"-aggregation decoder.
 
     ``__init__`` compiles all patterns once (per actor, in the Ray stage);

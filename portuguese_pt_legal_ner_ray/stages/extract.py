@@ -78,23 +78,46 @@ def explode_batch(batch: pa.Table) -> pa.Table:
 
 
 class NerTripleStage:
-    """Actor-pool stage: paragraph rows in, nested spans+triples out."""
+    """Actor-pool stage: paragraph rows in, nested spans+triples out.
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    ``dynamic_batching=True`` routes paragraphs through
+    ``length_sorted_batches`` (sort by token length, sub-batch under a token
+    budget, restore input order on output) — semantics-neutral here, and the
+    exact shape a model-backed ``Tagger`` needs for padded forward passes.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 dynamic_batching: bool = False, token_budget: int = 8192):
         cfg = cfg or PipelineConfig()
         self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
+        self.dynamic_batching = dynamic_batching
+        self.token_budget = token_budget
+
+    def _tag_many(self, texts: list[str]) -> list[list]:
+        if not self.dynamic_batching:
+            return [self.tagger.tag_paragraph(t) for t in texts]
+        from ..functions.tagger import length_sorted_batches
+
+        out: list[list] = [None] * len(texts)  # type: ignore[list-item]
+        for idx_batch in length_sorted_batches(texts, self.token_budget):
+            for i in idx_batch:  # one padded forward pass per idx_batch
+                out[i] = self.tagger.tag_paragraph(texts[i])
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["para_text"].to_pylist()
         langs = batch["lang"].to_pylist()
+        pt_idx = [i for i, l in enumerate(langs) if l == "pt"]
+        tagged = self._tag_many([texts[i] for i in pt_idx])
+        by_row = dict(zip(pt_idx, tagged))
         spans_col: list[list[dict]] = []
         triples_col: list[list[dict]] = []
-        for text, lang in zip(texts, langs):
-            if lang != "pt":
+        for i, text in enumerate(texts):
+            spans = by_row.get(i)
+            if spans is None:  # non-pt rows keep lineage with empty lists
                 spans_col.append([])
                 triples_col.append([])
                 continue
-            spans = self.tagger.tag_paragraph(text)
             spans_col.append(
                 [
                     {

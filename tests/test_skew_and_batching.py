@@ -1,0 +1,90 @@
+"""Skew-path linking (distributed, salted blocks) and dynamic batching."""
+
+import pyarrow as pa
+import pytest
+
+from portuguese_pt_legal_ner_ray.config import LinkingConfig, PipelineConfig
+from portuguese_pt_legal_ner_ray.functions.tagger import (
+    HFTagger,
+    RegexGazetteerTagger,
+    Tagger,
+    length_sorted_batches,
+)
+from portuguese_pt_legal_ner_ray.oracle import link_entities
+from portuguese_pt_legal_ner_ray.stages.extract import NerTripleStage
+
+
+def test_tagger_interface():
+    assert isinstance(RegexGazetteerTagger(), Tagger)
+    with pytest.raises(NotImplementedError, match="transformers"):
+        HFTagger("/some/checkpoint")
+
+
+def test_length_sorted_batches_cover_and_budget():
+    texts = ["word " * n for n in (1, 50, 3, 200, 7, 120)]
+    plan = length_sorted_batches(texts, token_budget=256)
+    flat = sorted(i for b in plan for i in b)
+    assert flat == list(range(len(texts)))  # exact cover, no dupes
+    for b in plan:
+        max_len = max(len(texts[i].split()) for i in b)
+        assert len(b) * max_len <= 256 or len(b) == 1
+
+
+def test_dynamic_batching_is_semantics_neutral():
+    tbl = pa.table(
+        {
+            "url": ["u"] * 4,
+            "lang": ["pt", "en", "pt", "pt"],
+            "para_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "para_text": [
+                "O réu João Silva foi notificado em Lisboa, em 12/02/1990.",
+                "no entities here",
+                "A empresa Banco de Portugal está sediada no Porto.",
+                "",
+            ],
+        }
+    )
+    plain = NerTripleStage(PipelineConfig())(tbl)
+    dyn = NerTripleStage(PipelineConfig(), dynamic_batching=True, token_budget=8)(tbl)
+    assert plain.equals(dyn)
+    # language gate: non-pt row kept with empty lists (lineage preserved)
+    assert plain["spans"][1].as_py() == [] and plain["triples"][1].as_py() == []
+
+
+def test_skewed_hot_cluster_links_fully(ray_session):
+    """One entity with > SALT_THRESHOLD near-identical variants: the salted
+    pairing + band redundancy must still produce ONE component, identically
+    in the oracle union-find and the distributed label-propagation path."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.functions.blocking import SALT_THRESHOLD
+    from portuguese_pt_legal_ner_ray.stages.linking import (
+        BandStage,
+        candidate_pairs,
+        canonicalize,
+    )
+
+    cfg = LinkingConfig()
+    n = SALT_THRESHOLD + 40
+    surfaces = [f"ministerio publico da comarca {i:03d}" for i in range(n)]
+    mentions = {f"ORG|{s}": ("ORG", s.title(), 5) for s in surfaces}
+    oracle_map = link_entities(mentions, cfg)
+    n_comps_oracle = len(set(oracle_map.values()))
+
+    mentions_ds = ray.data.from_arrow(pa.table({
+        "key": pa.array(list(mentions), pa.string()),
+        "label": pa.array(["ORG"] * n, pa.string()),
+        "surface": pa.array([v[1] for v in mentions.values()], pa.string()),
+        "n": pa.array([5] * n, pa.int64()),
+    }))
+    bands = mentions_ds.map_batches(
+        BandStage, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(cfg=cfg), concurrency=(1, 2),
+    )
+    pairs = candidate_pairs(bands, cfg)
+    comp_ds, _ = canonicalize(mentions_ds, pairs, cfg, force_distributed=True)
+    got = {r["key"]: r["comp"] for r in comp_ds.take_all()}
+    assert got == oracle_map
+    # the hot cluster collapses into very few components (fully connected
+    # in the oracle; distributed path must agree exactly regardless)
+    assert n_comps_oracle < n // 10
