@@ -26,7 +26,7 @@ from .corpus import ensure_webpages
 from .functions.blocking import pairs_for_block
 from .functions.html import html_to_text
 from .functions.minhash import MinHasher, jaccard, shingles
-from .functions.normalize import entity_key, normalize_surface
+from .functions.normalize import entity_key
 from .functions.paragraphs import split_paragraphs
 from .functions.tagger import RegexGazetteerTagger
 from .functions.triples import extract_triples

@@ -112,6 +112,17 @@ def graph_stage(out_dir: Path, cfg: PipelineConfig,
     spans = ray.data.read_parquet(str(out_dir / "graph" / "spans"))
     triples = ray.data.read_parquet(str(out_dir / "graph" / "triples"))
 
+    # poison-pill quarantine: rows whose tagging failed carry an error
+    # string (never silently dropped entities — SURVEY.md §4); surfaced as
+    # an errors table with url lineage for reprocessing
+    import pyarrow.compute as pc
+
+    errors = extraction.map_batches(
+        lambda t: t.filter(pc.is_valid(t["error"])).select(["url", "para_idx", "error"]),
+        batch_format="pyarrow",
+    )
+    errors.write_parquet(str(out_dir / "graph" / "errors"))
+
     mentions = spans_to_mentions(spans).materialize()  # small: distinct keys
     bands = mentions.map_batches(
         BandStage, batch_format="pyarrow",
@@ -131,6 +142,7 @@ def graph_stage(out_dir: Path, cfg: PipelineConfig,
         "nodes": parquet_row_count(out_dir / "graph" / "nodes"),
         "edges": parquet_row_count(out_dir / "graph" / "edges"),
         "triples": parquet_row_count(out_dir / "graph" / "triples"),
+        "errors": parquet_row_count(out_dir / "graph" / "errors"),
         "cc_path": "driver" if mapping_ref is not None else "distributed",
     }
 
@@ -186,7 +198,6 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
     Per-partition manifests and the extracted-text/paragraph tables belong
     to the correctness path (:func:`run_kg_pipeline`), not the stopwatch.
     """
-    import pyarrow.parquet as pq
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -217,9 +228,10 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
         .map_batches(explode_batch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(ner_triples_task, batch_format="pyarrow")  # whole blocks
         # prune at the write: the KG stages downstream consume only
-        # (url, para_idx, spans, triples); para_text belongs to the
-        # correctness-path outputs (run_kg_pipeline), not this checkpoint
-        .select_columns(["url", "para_idx", "spans", "triples"])
+        # (url, para_idx, spans, triples) + the quarantine column;
+        # para_text belongs to the correctness-path outputs
+        # (run_kg_pipeline), not this checkpoint
+        .select_columns(["url", "para_idx", "spans", "triples", "error"])
         .write_parquet(str(out_dir / "extraction"))
     )
     phases["extract"] = round(time.time() - _t, 2)

@@ -107,7 +107,6 @@ def resize_metadata(decoded: Dataset, max_side: int = 256) -> Dataset:
     is deterministic and oracle-checkable; a real implementation would apply
     the same plan to pixel buffers inside the decode actor pool.
     """
-    import pyarrow.compute as pc
 
     def plan(batch: pa.Table) -> pa.Table:
         w = batch["width"].to_pylist()

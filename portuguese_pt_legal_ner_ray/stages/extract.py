@@ -57,6 +57,7 @@ EXTRACTION_SCHEMA = pa.schema(
         ("para_text", pa.string()),
         ("spans", pa.list_(SPAN_T)),
         ("triples", pa.list_(TRIPLE_T)),
+        ("error", pa.string()),  # null = clean row; non-null = quarantined
     ]
 )
 
@@ -93,15 +94,26 @@ class NerTripleStage:
         self.dynamic_batching = dynamic_batching
         self.token_budget = token_budget
 
-    def _tag_many(self, texts: list[str]) -> list[list]:
+    def _tag_one(self, text: str):
+        """-> (spans, error). The reference swallows per-paragraph errors
+        into a silent ``[]`` (src/inference.py:214-216) — a bug SURVEY.md §4
+        forbids replicating: here failures are quarantined with lineage (the
+        row carries the error string and empty spans; the pipeline surfaces
+        an errors table) instead of silently dropping entities."""
+        try:
+            return self.tagger.tag_paragraph(text), None
+        except Exception as exc:  # noqa: BLE001 - poison-pill quarantine
+            return [], f"{type(exc).__name__}: {exc}"
+
+    def _tag_many(self, texts: list[str]) -> list[tuple[list, str | None]]:
         if not self.dynamic_batching:
-            return [self.tagger.tag_paragraph(t) for t in texts]
+            return [self._tag_one(t) for t in texts]
         from ..functions.tagger import length_sorted_batches
 
-        out: list[list] = [None] * len(texts)  # type: ignore[list-item]
+        out: list = [None] * len(texts)
         for idx_batch in length_sorted_batches(texts, self.token_budget):
             for i in idx_batch:  # one padded forward pass per idx_batch
-                out[i] = self.tagger.tag_paragraph(texts[i])
+                out[i] = self._tag_one(texts[i])
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -112,12 +124,16 @@ class NerTripleStage:
         by_row = dict(zip(pt_idx, tagged))
         spans_col: list[list[dict]] = []
         triples_col: list[list[dict]] = []
+        errors: list[str | None] = []
         for i, text in enumerate(texts):
-            spans = by_row.get(i)
-            if spans is None:  # non-pt rows keep lineage with empty lists
+            hit = by_row.get(i)
+            if hit is None:  # non-pt rows keep lineage with empty lists
                 spans_col.append([])
                 triples_col.append([])
+                errors.append(None)
                 continue
+            spans, err = hit
+            errors.append(err)
             spans_col.append(
                 [
                     {
@@ -144,6 +160,7 @@ class NerTripleStage:
                 "para_text": batch["para_text"],
                 "spans": pa.array(spans_col, type=pa.list_(SPAN_T)),
                 "triples": pa.array(triples_col, type=pa.list_(TRIPLE_T)),
+                "error": pa.array(errors, pa.string()),
             }
         )
 

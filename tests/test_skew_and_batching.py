@@ -51,6 +51,34 @@ def test_dynamic_batching_is_semantics_neutral():
     assert plain["spans"][1].as_py() == [] and plain["triples"][1].as_py() == []
 
 
+def test_tagger_error_quarantined_not_silent():
+    """Reference bug NOT replicated: a tagging failure must surface in the
+    error column with lineage (reference src/inference.py:214-216 silently
+    emits [])."""
+
+    class BoobyTrap(RegexGazetteerTagger):
+        def tag_paragraph(self, text):
+            if "BOOM" in text:
+                raise ValueError("model exploded")
+            return super().tag_paragraph(text)
+
+    stage = NerTripleStage(PipelineConfig())
+    stage.tagger = BoobyTrap()
+    tbl = pa.table(
+        {
+            "url": ["u", "u"],
+            "lang": ["pt", "pt"],
+            "para_idx": pa.array([0, 1], pa.int32()),
+            "para_text": ["João Silva em Lisboa.", "texto BOOM aqui"],
+        }
+    )
+    out = stage(tbl)
+    assert out["error"][0].as_py() is None
+    assert "ValueError: model exploded" in out["error"][1].as_py()
+    assert out["spans"][1].as_py() == []
+    assert len(out["spans"][0].as_py()) > 0  # healthy rows unaffected
+
+
 def test_skewed_hot_cluster_links_fully(ray_session):
     """One entity with > SALT_THRESHOLD near-identical variants: the salted
     pairing + band redundancy must still produce ONE component, identically
