@@ -1,5 +1,14 @@
 """Engine CLI: build | resume | bench | report | export.
 
+Cluster entry point (north rule: launched via ``ray job submit``)::
+
+    ray job submit --working-dir . -- \
+        python -m portuguese_pt_legal_ner_ray.cli build s3://crawl/webpages s3://out/kg
+
+In this sandbox (local mode, no job server) invoke the module directly;
+``build`` on an existing out_dir resumes from its manifests either way.
+
+
 Mirrors the reference's subcommand CLI shape (reference src/cli.py:506-549,
 ``train|pretrain|infer|list|show``) for the engine's lifecycle:
 

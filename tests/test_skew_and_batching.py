@@ -79,6 +79,37 @@ def test_tagger_error_quarantined_not_silent():
     assert len(out["spans"][0].as_py()) > 0  # healthy rows unaffected
 
 
+def test_distributed_cc_random_graph_matches_union_find(ray_session):
+    """Randomized (seeded) graph: label propagation == union-find exactly."""
+    import numpy as np
+    import ray
+
+    from portuguese_pt_legal_ner_ray.oracle import _UnionFind
+    from portuguese_pt_legal_ner_ray.state.components import (
+        connected_components_distributed,
+    )
+
+    rng = np.random.default_rng(99)
+    nodes = [f"n{i:04d}" for i in range(300)]
+    edges = [(nodes[int(a)], nodes[int(b)])
+             for a, b in rng.integers(0, 300, size=(180, 2)) if a != b]
+    uf = _UnionFind()
+    for n in nodes:
+        uf.find(n)
+    for a, b in edges:
+        uf.union(a, b)
+    want = {n: uf.find(n) for n in nodes}
+
+    keys_ds = ray.data.from_arrow(pa.table({"key": pa.array(nodes, pa.string())}))
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([a for a, _ in edges], pa.string()),
+        "b": pa.array([b for _, b in edges], pa.string()),
+    })).repartition(4)
+    comp = connected_components_distributed(keys_ds, pairs_ds)
+    got = {r["key"]: r["comp"] for r in comp.take_all()}
+    assert got == want
+
+
 def test_skewed_hot_cluster_links_fully(ray_session):
     """One entity with > SALT_THRESHOLD near-identical variants: the salted
     pairing + band redundancy must still produce ONE component, identically
