@@ -61,7 +61,7 @@ def cmd_report(args: argparse.Namespace) -> int:
         line = {k: rec[k] for k in ("stage", "partition", "engine_version")}
         line.update({k: v for k, v in rec.items()
                      if k in ("pages", "paragraphs", "mentions", "nodes",
-                              "edges", "triples", "cc_path")})
+                              "edges", "triples", "errors", "cc_path")})
         print(json.dumps(line, sort_keys=True))
     return 0
 
