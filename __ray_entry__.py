@@ -214,6 +214,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return brute_force_topk(vecs, qref, k=10)
 
+    def near_dup_embedding(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+        return embedding_near_dup_pairs(vecs, threshold=0.4)
+
     def ann_ivf_topk(sf_dir: str):
         vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                      columns=["vec_id", "embedding"])
@@ -340,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "near_dup_char_jaccard": near_dup_char_jaccard,
         "near_dup_minhash": near_dup_minhash,
+        "near_dup_embedding": near_dup_embedding,
         "docs_top10_longest": docs_top10_longest,
         "lang_histogram": lang_histogram,
         "ann_cosine_topk": ann_cosine_topk,
@@ -439,6 +449,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_top10_longest": """SELECT doc_id, length(text) AS n_chars FROM documents
                                  ORDER BY n_chars DESC, doc_id LIMIT 10""",
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "near_dup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4""",
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                        WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),

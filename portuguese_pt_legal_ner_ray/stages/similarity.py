@@ -118,6 +118,43 @@ def make_query_ref(vectors: Dataset, query_ids: list[int],
     return ray.put({"ids": ids, "mat": mat})
 
 
+def embedding_near_dup_pairs(
+    vectors: Dataset,
+    threshold: float = 0.4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """All (id_a < id_b) pairs with cosine similarity >= threshold.
+
+    Embedding-cosine near-dup detection: the normalized matrix is broadcast
+    once (numpy buffers are plasma zero-copy), each batch does one float64
+    matmul against it and keeps upper-triangle hits. O(n²) compute
+    distributed over batches; at corpus scale, route through ``ivf_topk``
+    cells first so only same-cell pairs are scored.
+    """
+    df = vectors.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
+    mat = _norm_rows(np.array(df[emb_col].tolist(), dtype=np.float64))
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    ref = ray.put({"ids": ids, "mat": mat})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        all_ids, all_mat = b["ids"], b["mat"]
+        rows = _norm_rows(_emb_matrix(batch, emb_col))
+        row_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = rows @ all_mat.T  # [batch, n]
+        a_out, b_out = [], []
+        for r in range(sims.shape[0]):
+            hits = np.where((sims[r] >= threshold) & (all_ids > row_ids[r]))[0]
+            for c in hits:
+                a_out.append(int(row_ids[r]))
+                b_out.append(int(all_ids[c]))
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    return vectors.map_batches(scan, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # IVF-style coarse quantization (scale path)
 # ---------------------------------------------------------------------------

@@ -116,6 +116,23 @@ def test_brute_force_topk_matches_numpy(ray_session):
         assert list(got[got["query_id"] == qid]["vec_id"]) == want
 
 
+def test_embedding_near_dup_finds_planted_pair(ray_session):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(50, 16))
+    mat[7] = mat[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+    }))
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.95).to_pandas()
+    assert (3, 7) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(pairs) <= 3  # random vectors rarely cross 0.95
+
+
 def test_ivf_recall_reasonable(ray_session):
     import ray
 
