@@ -214,6 +214,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return brute_force_topk(vecs, qref, k=10)
 
+    def docs_approx_distinct(sf_dir: str):
+        """KMV sketch with k >= cardinality degrades to exact -> SQL-checkable."""
+        import pandas as pd
+
+        from portuguese_pt_legal_ner_ray.stages.sketches import approx_distinct
+
+        est = approx_distinct(_docs(sf_dir), "text", k=65536)
+        return pd.DataFrame([{"n_distinct": est}])
+
     def near_dup_embedding(sf_dir: str):
         from portuguese_pt_legal_ner_ray.stages.similarity import (
             embedding_near_dup_pairs,
@@ -350,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_char_jaccard": near_dup_char_jaccard,
         "near_dup_minhash": near_dup_minhash,
         "near_dup_embedding": near_dup_embedding,
+        "docs_approx_distinct": docs_approx_distinct,
         "docs_top10_longest": docs_top10_longest,
         "lang_histogram": lang_histogram,
         "ann_cosine_topk": ann_cosine_topk,
@@ -449,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_top10_longest": """SELECT doc_id, length(text) AS n_chars FROM documents
                                  ORDER BY n_chars DESC, doc_id LIMIT 10""",
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "docs_approx_distinct": """
+            SELECT CAST(count(DISTINCT text) AS DOUBLE) AS n_distinct FROM documents""",
         "near_dup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

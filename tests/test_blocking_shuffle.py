@@ -89,6 +89,22 @@ def test_grouped_count_matches_pandas(ray_session, rand_tbl):
     assert got.equals(want)
 
 
+def test_kmv_approx_distinct(ray_session, rand_tbl):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import approx_distinct
+
+    ds = ray.data.from_arrow(rand_tbl).repartition(8)
+    exact = rand_tbl.to_pandas()["s"].nunique()
+    est_small_k = approx_distinct(ds, "s", k=256)
+    assert abs(est_small_k - exact) / exact < 0.2  # sketch within 20%
+    est_big_k = approx_distinct(ds, "s", k=4096)
+    assert est_big_k == exact  # k >= distinct -> exact
+    # parallelism-independent: same input, different partitioning
+    assert approx_distinct(ray.data.from_arrow(rand_tbl).repartition(2),
+                           "s", k=256) == est_small_k
+
+
 def test_grouped_agg_matches_pandas(ray_session, rand_tbl):
     import ray
 
