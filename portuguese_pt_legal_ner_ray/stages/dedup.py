@@ -68,27 +68,6 @@ class MinhashBandStage:
                          "doc_id": pa.array(ids, pa.int64())})
 
 
-class _VerifyJaccard:
-    """Stateless verify of candidate pairs by true shingle Jaccard."""
-
-    def __init__(self, docs_ref, shingle_k: int, threshold: float):
-        import ray
-
-        self.texts = ray.get(docs_ref)  # broadcast doc_id -> text (small side)
-        self.k = shingle_k
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keep = []
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            ja = jaccard(
-                shingles(self.texts[a].lower(), self.k),
-                shingles(self.texts[b].lower(), self.k),
-            )
-            keep.append(ja >= self.threshold)
-        return batch.filter(pa.array(keep, pa.bool_()))
-
-
 def minhash_lsh_pairs(
     docs: Dataset,
     text_col: str = "text",
@@ -102,12 +81,10 @@ def minhash_lsh_pairs(
     when None, pairs are returned unverified (pure LSH candidates).
     """
     cfg = cfg or LinkingConfig(num_hashes=32, num_bands=8, shingle_k=5)
-    bands = docs.map_batches(
-        MinhashBandStage,
-        batch_format="pyarrow",
-        fn_constructor_kwargs=dict(cfg=cfg, text_col=text_col),
-        concurrency=(1, 4),
-    )
+    # task mode (warm workers), not an actor pool: the hasher state is a
+    # cheap build, and pool startup would dominate at this stage size
+    stage = MinhashBandStage(cfg=cfg, text_col=text_col)
+    bands = docs.map_batches(stage, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group["doc_id"].to_pylist())
@@ -127,13 +104,19 @@ def minhash_lsh_pairs(
     )
     if docs_ref is None:
         return pairs
-    return pairs.map_batches(
-        _VerifyJaccard,
-        batch_format="pyarrow",
-        fn_constructor_kwargs=dict(docs_ref=docs_ref, shingle_k=cfg.shingle_k,
-                                   threshold=threshold),
-        concurrency=(1, 4),
-    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import ray
+
+        texts = ray.get(docs_ref)
+        keep = []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            ja = jaccard(shingles(texts[a].lower(), cfg.shingle_k),
+                         shingles(texts[b].lower(), cfg.shingle_k))
+            keep.append(ja >= threshold)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,
