@@ -25,8 +25,37 @@ from ..config import LinkingConfig
 from ..functions.minhash import MinHasher, jaccard, shingles
 
 
-def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """One row per distinct text: (text, keep_id=min id, n_dups)."""
+def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id",
+                by_fingerprint: bool = False) -> Dataset:
+    """One row per distinct text: (text, keep_id=min id, n_dups).
+
+    ``by_fingerprint=True`` is the 100 TB path: the shuffle moves
+    (md5 fingerprint, id) pairs instead of raw document text — output keyed
+    by ``fingerprint`` instead of ``text`` (collision probability ~n²/2¹²⁸).
+    """
+    if by_fingerprint:
+        import hashlib
+
+        from .shuffle import grouped_agg
+
+        def fp(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "fingerprint": pa.array(
+                        [hashlib.md5(t.encode()).hexdigest()
+                         for t in batch[text_col].to_pylist()],
+                        pa.string(),
+                    ),
+                    id_col: batch[id_col],
+                    "n": pa.array([1] * len(batch), pa.int64()),
+                }
+            )
+
+        return grouped_agg(
+            docs.select_columns([id_col, text_col]).map_batches(fp, batch_format="pyarrow"),
+            ["fingerprint"],
+            {"keep_id": (id_col, "min"), "n_dups": ("n", "sum")},
+        )
     return (
         docs.select_columns([id_col, text_col])
         .groupby(text_col)

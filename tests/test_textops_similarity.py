@@ -60,6 +60,11 @@ def test_exact_dedup(docs):
     assert len(out) == 4  # 5 docs, one exact dup
     dup_row = out[out["n_dups"] == 2].iloc[0]
     assert dup_row["keep_id"] == 0
+    # fingerprint (scale) path: same keep/count multiset without moving text
+    fp = exact_dedup(docs, by_fingerprint=True).to_pandas()
+    assert sorted(zip(fp["keep_id"], fp["n_dups"])) == sorted(
+        zip(out["keep_id"], out["n_dups"])
+    )
 
 
 def test_minhash_lsh_finds_near_dups(docs):
