@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def rel_top_orders(sf_dir: str):
         return relational.top_orders(sf_dir)
 
+    def rel_lineitem_summary(sf_dir: str):
+        return relational.lineitem_summary(sf_dir)
+
+    def rel_parts_per_brand(sf_dir: str):
+        return relational.parts_per_brand(sf_dir)
+
     def docs_longest_per_lang(sf_dir: str):
         return relational.longest_doc_per_lang(sf_dir)
 
@@ -375,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customers_per_region": rel_customers_per_region,
         "rel_orders_per_nation": rel_orders_per_nation,
         "rel_top_orders": rel_top_orders,
+        "rel_lineitem_summary": rel_lineitem_summary,
+        "rel_parts_per_brand": rel_parts_per_brand,
         "docs_longest_per_lang": docs_longest_per_lang,
         "docs_hash_split": docs_hash_split,
         "events_sliding_hour": events_sliding_hour,
@@ -547,6 +555,17 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "rel_lineitem_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+                   CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rel_parts_per_brand": """
+            SELECT p.p_brand, count(*) AS n_lineitems
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand""",
         "docs_longest_per_lang": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, length(text) AS n_chars,

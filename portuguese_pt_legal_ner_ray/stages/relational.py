@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -78,6 +79,56 @@ def orders_per_nation(sf_dir: str) -> Dataset:
         {"n_orders": ("n_orders", "sum")},
         pre_aggregated=True,
     )
+
+
+def lineitem_summary(sf_dir: str) -> Dataset:
+    """TPC-H-Q1-shaped grouped summary with order-independent aggregates
+    only (count/min/max — float SUMs are deliberately excluded from
+    oracle-checked outputs because their value depends on reduction order).
+    """
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    from .shuffle import grouped_agg
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.float64()),
+                "price": pc.cast(batch["l_extendedprice"], pa.float64()),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_items": ("one", "sum"),
+            "min_qty": ("qty", "min"),
+            "max_qty": ("qty", "max"),
+            "min_price": ("price", "min"),
+            "max_price": ("price", "max"),
+        },
+    )
+
+
+def parts_per_brand(sf_dir: str) -> Dataset:
+    """lineitem ⋈ part (dimension broadcast) -> (p_brand, n_lineitems)."""
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(brand_ref)
+        return pd.DataFrame({"p_brand": [m[k] for k in batch["l_partkey"]]})
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return grouped_count(li.map_batches(add_brand, batch_format="pandas"),
+                         ["p_brand"], alias="n_lineitems")
 
 
 def top_orders(sf_dir: str, k: int = 10) -> Dataset:
