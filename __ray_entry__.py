@@ -180,11 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def near_dup_minhash(sf_dir: str):
         docs = _docs(sf_dir)
-        df = docs.to_pandas()  # block-level concat; never take_all
-        texts = dict(zip(df["doc_id"], df["text"]))
-        import ray as _ray
-
-        return minhash_lsh_pairs(docs, threshold=0.5, docs_ref=_ray.put(texts))
+        # join-based verify: candidate pairs are hash-joined back to their
+        # texts — no driver materialization, no whole-corpus broadcast
+        return minhash_lsh_pairs(docs, threshold=0.5, verify_docs=docs)
 
     def docs_top10_longest(sf_dir: str):
         import pyarrow as pa

@@ -64,19 +64,43 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id",
 
 
 def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """Keep-first application of exact dedup: rows whose id is the min id of
-    their text group. Semi-join via broadcast keep-set (``ray.put`` once,
-    vectorized ``is_in`` per batch) — no second shuffle over the corpus."""
-    import ray
+    """Keep-first application of exact dedup: the min-id row of each text
+    group survives.
 
-    keep = exact_dedup(docs, text_col, id_col).select_columns(["keep_id"]).to_pandas()
-    keep_ref = ray.put(set(keep["keep_id"].tolist()))
+    Scale path: ONE shuffle keyed by the md5 fingerprint of the text (a
+    32-char key, not the raw document), min-id row kept per group. No
+    broadcast keep-set (that costs O(distinct docs) memory in every worker
+    at corpus scale) and no driver materialization; the corpus streams
+    through the exchange exactly once. Fingerprint collisions (~n²/2¹²⁸)
+    are the same accepted risk as ``exact_dedup(by_fingerprint=True)``.
+    """
+    import hashlib
 
-    def filt(batch: pa.Table) -> pa.Table:
-        keep_ids = pa.array(sorted(ray.get(keep_ref)), pa.int64())
-        return batch.filter(pc.is_in(batch[id_col], value_set=keep_ids))
+    import numpy as np
 
-    return docs.select_columns([id_col, text_col]).map_batches(filt, batch_format="pyarrow")
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fingerprint": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest()
+                     for t in batch[text_col].to_pylist()],
+                    pa.string(),
+                ),
+                id_col: batch[id_col],
+                text_col: batch[text_col],
+            }
+        )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        i = int(np.argmin(g[id_col].to_numpy(zero_copy_only=False)))
+        return g.slice(i, 1).select([id_col, text_col])
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
 
 
 class MinhashBandStage:
@@ -102,12 +126,24 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     cfg: LinkingConfig | None = None,
-    docs_ref=None,
+    verify_docs: Dataset | None = None,
+    dense_bucket_cap: int = 256,
 ) -> Dataset:
     """Verified near-dup pairs (id_a < id_b) via minhash LSH.
 
-    ``docs_ref``: optional ``ray.put`` dict doc_id->text for verification;
-    when None, pairs are returned unverified (pure LSH candidates).
+    Candidate generation: buckets up to ``dense_bucket_cap`` docs emit ALL
+    in-bucket pairs (full recall within the bucket); larger (hot) buckets
+    fall back to a sorted-neighborhood window of ``cfg.window`` neighbors in
+    doc_id order, which deliberately caps the O(bucket²) blow-up — pairs
+    more than ``window`` apart inside such a hot bucket are NOT candidates
+    (bounded-recall tradeoff, same spirit as the salted blocking cap in
+    functions/blocking.py).
+
+    ``verify_docs``: optional (id, text) Dataset — candidates are verified
+    by true shingle-Jaccard >= ``threshold`` via two partitioned hash joins
+    that bring each pair's texts together (the pair set is tiny relative to
+    the corpus); nothing is materialized on the driver and no whole-corpus
+    broadcast is made. When None, pairs are returned unverified.
     """
     cfg = cfg or LinkingConfig(num_hashes=32, num_bands=8, shingle_k=5)
     # task mode (warm workers), not an actor pool: the hasher state is a
@@ -118,8 +154,10 @@ def minhash_lsh_pairs(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group["doc_id"].to_pylist())
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, min(i + 1 + cfg.window, len(ids))):
+        n = len(ids)
+        for i in range(n):
+            hi = n if n <= dense_bucket_cap else min(i + 1 + cfg.window, n)
+            for j in range(i + 1, hi):
                 a.append(ids[i])
                 b.append(ids[j])
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
@@ -131,21 +169,44 @@ def minhash_lsh_pairs(
         .count()
         .select_columns(["id_a", "id_b"])
     )
-    if docs_ref is None:
+    if verify_docs is None:
         return pairs
 
+    from .joins import hash_join
+
+    # the pair set is tiny (O(near-dups), not O(corpus)): materialize it once
+    # and semi-filter the docs side down to candidate ids BEFORE the joins,
+    # so the join shuffle moves only candidate texts, never the whole corpus
+    pairs = pairs.materialize()
+    cand = pairs.to_pandas()
+    cand_ids = {
+        "a": pa.array(sorted(set(cand["id_a"])), pa.int64()),
+        "b": pa.array(sorted(set(cand["id_b"])), pa.int64()),
+    }
+
+    def _as(side: str):
+        ids = cand_ids[side]
+
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=ids))
+            return pa.table({f"id_{side}": t["doc_id"], f"text_{side}": t[text_col]})
+
+        return f
+
+    docs_a = verify_docs.map_batches(_as("a"), batch_format="pyarrow")
+    docs_b = verify_docs.map_batches(_as("b"), batch_format="pyarrow")
+    with_a = hash_join(pairs, docs_a, key="id_a")
+    with_b = hash_join(with_a, docs_b, key="id_b")
+
     def verify(batch: pa.Table) -> pa.Table:
-        import ray
+        keep = [
+            jaccard(shingles(ta.lower(), cfg.shingle_k),
+                    shingles(tb.lower(), cfg.shingle_k)) >= threshold
+            for ta, tb in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ]
+        return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 
-        texts = ray.get(docs_ref)
-        keep = []
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            ja = jaccard(shingles(texts[a].lower(), cfg.shingle_k),
-                         shingles(texts[b].lower(), cfg.shingle_k))
-            keep.append(ja >= threshold)
-        return batch.filter(pa.array(keep, pa.bool_()))
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,

@@ -6,7 +6,9 @@ are identified by (url, para_idx, start, end) and typed by ``label``.
 
 Implementation is the partial+final pattern: per-batch combiners emit
 (key, pred_count, gold_count) partials; one bucketed shuffle merges them;
-per-label tp/fp/fn reduce to a 9-row table on the driver. The confusion
+a SECOND distributed reduce collapses the per-span-key rows to per-label
+(tp, fp, fn) partials, so the driver collects ~10 label rows — never one
+row per distinct span (at corpus scale that would be billions of rows). The confusion
 matrix counts (gold_label, pred_label) for spans matching on position, with
 a deterministic sorted label axis — deliberately NOT reproducing the
 reference's nondeterministic ``set()`` axis order (src/training.py:207;
@@ -42,11 +44,9 @@ def _tagged(spans: Dataset, col: str) -> Dataset:
     return spans.map_batches(tag, batch_format="pyarrow")
 
 
-def span_eval(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
-    """-> per-label + micro rows: (label, tp, fp, fn, precision, recall, f1).
-
-    Inputs: span datasets with columns (url, para_idx, start, end, label).
-    """
+def _merged_keys(pred_spans: Dataset, gold_spans: Dataset) -> Dataset:
+    """One row per distinct span key with (pred_label, gold_label, pred_n,
+    gold_n) — the shared first reduce of span_eval / confusion_matrix."""
     pred = _tagged(pred_spans, "pred").map_batches(
         lambda t: t.append_column("gold_label", pa.array([""] * len(t), pa.string())),
         batch_format="pyarrow",
@@ -55,7 +55,7 @@ def span_eval(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
         lambda t: t.append_column("pred_label", pa.array([""] * len(t), pa.string())),
         batch_format="pyarrow",
     )
-    merged = grouped_agg(
+    return grouped_agg(
         pred.union(gold),
         _KEY_COLS,
         {
@@ -64,25 +64,50 @@ def span_eval(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
             "pred_n": ("pred_n", "sum"),
             "gold_n": ("gold_n", "sum"),
         },
-    ).to_pandas()
+    )
 
-    counts: dict[str, list[int]] = {}
-    for r in merged.itertuples():
-        if r.pred_n and r.gold_n and r.pred_label == r.gold_label:
-            counts.setdefault(r.gold_label, [0, 0, 0])[0] += 1  # tp
-        else:
-            if r.pred_n:
-                counts.setdefault(r.pred_label, [0, 0, 0])[1] += 1  # fp
-            if r.gold_n:
-                counts.setdefault(r.gold_label, [0, 0, 0])[2] += 1  # fn
+
+def span_eval(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
+    """-> per-label + micro rows: (label, tp, fp, fn, precision, recall, f1).
+
+    Inputs: span datasets with columns (url, para_idx, start, end, label).
+    """
+    import pyarrow.compute as pc
+
+    def contrib(t: pa.Table) -> pa.Table:
+        """Span-key rows -> per-row (label, tp, fp, fn) contributions."""
+        has_pred = pc.greater(t["pred_n"], 0)
+        has_gold = pc.greater(t["gold_n"], 0)
+        tp = pc.and_(pc.and_(has_pred, has_gold),
+                     pc.equal(t["pred_label"], t["gold_label"]))
+        parts = []
+        for mask, label_col, vec in (
+            (tp, "gold_label", (1, 0, 0)),
+            (pc.and_(pc.invert(tp), has_pred), "pred_label", (0, 1, 0)),
+            (pc.and_(pc.invert(tp), has_gold), "gold_label", (0, 0, 1)),
+        ):
+            f = t.filter(mask)
+            n = len(f)
+            parts.append(pa.table({
+                "label": f[label_col],
+                "tp": pa.array([vec[0]] * n, pa.int64()),
+                "fp": pa.array([vec[1]] * n, pa.int64()),
+                "fn": pa.array([vec[2]] * n, pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    per_label = grouped_agg(
+        _merged_keys(pred_spans, gold_spans).map_batches(contrib, batch_format="pyarrow"),
+        ["label"],
+        {"tp": ("tp", "sum"), "fp": ("fp", "sum"), "fn": ("fn", "sum")},
+    ).to_pandas()  # ~one row per entity type
 
     rows = []
     tot = [0, 0, 0]
-    for label in sorted(counts):
-        tp, fp, fn = counts[label]
-        tot = [a + b for a, b in zip(tot, (tp, fp, fn))]
-        rows.append(_metric_row(label, tp, fp, fn))
-    rows.append(_metric_row("micro", *tot))
+    for r in per_label.sort_values("label").itertuples():
+        tot = [a + b for a, b in zip(tot, (r.tp, r.fp, r.fn))]
+        rows.append(_metric_row(r.label, int(r.tp), int(r.fp), int(r.fn)))
+    rows.append(_metric_row("micro", *[int(x) for x in tot]))
     return pd.DataFrame(rows)
 
 
@@ -95,29 +120,24 @@ def _metric_row(label: str, tp: int, fp: int, fn: int) -> dict:
 
 
 def confusion_matrix(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
-    """(gold_label, pred_label, n) for position-matched spans, sorted axes."""
-    pred = _tagged(pred_spans, "pred").map_batches(
-        lambda t: t.append_column("gold_label", pa.array([""] * len(t), pa.string())),
-        batch_format="pyarrow",
-    )
-    gold = _tagged(gold_spans, "gold").map_batches(
-        lambda t: t.append_column("pred_label", pa.array([""] * len(t), pa.string())),
-        batch_format="pyarrow",
-    )
-    merged = grouped_agg(
-        pred.union(gold),
-        _KEY_COLS,
-        {
-            "pred_label": ("pred_label", "max"),
-            "gold_label": ("gold_label", "max"),
-            "pred_n": ("pred_n", "sum"),
-            "gold_n": ("gold_n", "sum"),
-        },
+    """(gold_label, pred_label, n) for position-matched spans, sorted axes.
+
+    The (gold, pred) cell counts are reduced distributively (second
+    ``grouped_count`` over the span-key rows); the driver collects only the
+    |labels|² cell table.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import grouped_count
+
+    def matched(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.greater(t["pred_n"], 0), pc.greater(t["gold_n"], 0))
+        f = t.filter(both)
+        return pa.table({"gold_label": f["gold_label"], "pred_label": f["pred_label"]})
+
+    cells = grouped_count(
+        _merged_keys(pred_spans, gold_spans).map_batches(matched, batch_format="pyarrow"),
+        ["gold_label", "pred_label"],
+        alias="n",
     ).to_pandas()
-    both = merged[(merged["pred_n"] > 0) & (merged["gold_n"] > 0)]
-    out = (
-        both.groupby(["gold_label", "pred_label"], sort=True)
-        .size()
-        .reset_index(name="n")
-    )
-    return out.sort_values(["gold_label", "pred_label"]).reset_index(drop=True)
+    return cells.sort_values(["gold_label", "pred_label"]).reset_index(drop=True)

@@ -5,9 +5,10 @@ high-cardinality string keys:
 
 1. per-batch Arrow ``Table.group_by`` (C++ hash aggregation) — the
    *combiner*: the shuffle moves partial aggregates, never raw rows;
-2. partials are hash-bucketed (crc32 of the joined key — process-stable,
-   unlike ``hash()``) so the all-to-all exchange range-partitions a small
-   int key instead of multi-column strings;
+2. partials are hash-bucketed (vectorized segmented polynomial hash over
+   the utf-8 buffer — process-stable, unlike ``hash()``) so the all-to-all
+   exchange range-partitions a small int key instead of multi-column
+   strings;
 3. one Arrow group_by per bucket merges the partials.
 
 All aggregates used are decomposable (min/max/sum/count as sum), so results
@@ -16,8 +17,6 @@ are exact at any parallelism (each key hashes to exactly one bucket).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -25,17 +24,73 @@ from ray.data import Dataset
 
 _SEP = "\x1f"
 
+# FNV-64 prime as the polynomial base; math is uint64 with natural wraparound
+_HASH_BASE = np.uint64(1099511628211)
+_POW: np.ndarray = np.array([1], dtype=np.uint64)
+
+
+def _pow_table(n: int) -> np.ndarray:
+    """Powers of the hash base mod 2^64, grown on demand and cached."""
+    global _POW
+    if len(_POW) < n:
+        grown = np.full(n, _HASH_BASE, dtype=np.uint64)
+        grown[0] = 1
+        np.cumprod(grown, out=grown)  # wraps mod 2^64 (array ops don't warn)
+        _POW = grown
+    return _POW
+
+
+def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Process-stable uint64 hash of a string array, fully vectorized.
+
+    Segmented polynomial hash straight over the Arrow utf-8 data buffer
+    (``np.add.reduceat`` per string segment) followed by a murmur-style
+    finalizer so low bits are well mixed for ``% num_buckets``. No per-row
+    Python — this runs in every combiner of every grouped_* shuffle.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    offsets = offsets.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    base = offsets[0]
+    seg = data[base : offsets[-1]].astype(np.uint64)
+    # per-byte weight = base^(position within its string)
+    rel = np.arange(len(seg), dtype=np.int64) - np.repeat(offsets[:-1] - base, lengths)
+    pw = _pow_table(int(lengths.max()) + 1 if len(lengths) else 1)
+    vals = seg * pw[rel]
+    # sentinel 0 so a trailing empty segment's start index stays in bounds
+    vals = np.append(vals, np.uint64(0))
+    h = np.add.reduceat(vals, offsets[:-1] - base)
+    h[lengths == 0] = np.uint64(0)
+    # fmix64 (murmur3 finalizer)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
 
 def _bucket_col(tbl: pa.Table, cols: list[str], num_buckets: int) -> pa.Table:
     joined = pc.binary_join_element_wise(
         *[pc.cast(tbl[c], pa.string()) for c in cols], _SEP
     )
-    buckets = np.fromiter(
-        (zlib.crc32(s.encode()) % num_buckets for s in joined.to_pylist()),
-        dtype=np.int64,
-        count=len(tbl),
-    )
+    buckets = (hash_strings(joined) % np.uint64(num_buckets)).astype(np.int64)
     return tbl.append_column("__bucket", pa.array(buckets, pa.int64()))
+
+
+def _agg_select(g: pa.Table, cols: list[str], agg_names: list[str],
+                outs: list[str]) -> pa.Table:
+    """Reorder/rename aggregate output BY NAME (pyarrow's group_by output
+    column order has differed across versions; positional renames would
+    silently swap columns instead of erroring)."""
+    return g.select([*cols, *agg_names]).rename_columns([*cols, *outs])
 
 
 def grouped_count(ds: Dataset, cols: list[str], alias: str = "count",
@@ -44,12 +99,12 @@ def grouped_count(ds: Dataset, cols: list[str], alias: str = "count",
 
     def preagg(batch: pa.Table) -> pa.Table:
         g = batch.group_by(cols).aggregate([(cols[0], "count")])
-        g = g.rename_columns([*cols, alias])
+        g = _agg_select(g, cols, [f"{cols[0]}_count"], [alias])
         return _bucket_col(g, cols, num_buckets)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         out = g.group_by(cols).aggregate([(alias, "sum")])
-        return out.rename_columns([*cols, alias])
+        return _agg_select(out, cols, [f"{alias}_sum"], [alias])
 
     return (
         ds.map_batches(preagg, batch_format="pyarrow")
@@ -71,7 +126,7 @@ def grouped_agg(ds: Dataset, cols: list[str], agg_spec: dict[str, tuple[str, str
     def combine(batch: pa.Table, src: bool) -> pa.Table:
         aggs = [((s if src else o), h) for o, (s, h) in agg_spec.items()]
         g = batch.group_by(cols).aggregate(aggs)
-        return g.rename_columns([*cols, *outs])
+        return _agg_select(g, cols, [f"{c}_{h}" for c, h in aggs], outs)
 
     def preagg(batch: pa.Table) -> pa.Table:
         return _bucket_col(combine(batch, src=True), cols, num_buckets)
@@ -85,7 +140,7 @@ def grouped_agg(ds: Dataset, cols: list[str], agg_spec: dict[str, tuple[str, str
     def per_bucket(g: pa.Table) -> pa.Table:
         aggs = [(o, h) for o, (_s, h) in agg_spec.items()]
         out = g.select([*cols, *outs]).group_by(cols).aggregate(aggs)
-        return out.rename_columns([*cols, *outs])
+        return _agg_select(out, cols, [f"{o}_{h}" for o, h in aggs], outs)
 
     first = bucketize_only if pre_aggregated else preagg
     return (

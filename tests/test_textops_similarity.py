@@ -68,12 +68,9 @@ def test_exact_dedup(docs):
 
 
 def test_minhash_lsh_finds_near_dups(docs):
-    import ray
-
     from portuguese_pt_legal_ner_ray.stages.dedup import minhash_lsh_pairs
 
-    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, docs_ref=ray.put(texts)).to_pandas()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, verify_docs=docs).to_pandas()
     found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in found and (0, 2) in found
     assert not any(3 in p for p in found)
