@@ -230,6 +230,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["vec_id", "embedding"])
         return embedding_near_dup_pairs(vecs, threshold=0.4)
 
+    def near_dup_embedding_ivf(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.similarity import (
+            embedding_near_dup_pairs_ivf,
+        )
+
+        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+        return embedding_near_dup_pairs_ivf(vecs, threshold=0.4, n_cells=16)
+
     def ann_ivf_topk(sf_dir: str):
         vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                      columns=["vec_id", "embedding"])
@@ -363,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_char_jaccard": near_dup_char_jaccard,
         "near_dup_minhash": near_dup_minhash,
         "near_dup_embedding": near_dup_embedding,
+        "near_dup_embedding_ivf": near_dup_embedding_ivf,
         "docs_approx_distinct": docs_approx_distinct,
         "docs_top10_longest": docs_top10_longest,
         "lang_histogram": lang_histogram,

@@ -20,6 +20,11 @@ ID_TO_LABEL = {i: l for l, i in LABEL_TO_ID.items()}
 # (reference src/inference.py:203, default src/config.py:63).
 CONFIDENCE_THRESHOLD = 0.5
 
+# Sequence truncation: every sequence is capped at 512 tokens
+# (reference src/data.py:156-184 ``truncation=True, max_length=512``) —
+# entities past the window are dropped, matching real-checkpoint behavior.
+MAX_LENGTH = 512
+
 # ---------------------------------------------------------------------------
 # Gazetteers (shared by the corpus synthesizer and the surrogate tagger).
 # The ORG pool deliberately contains diacritic / spelling variants of the

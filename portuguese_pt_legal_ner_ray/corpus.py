@@ -178,18 +178,53 @@ def corpus_dir(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
     return Path(root) / CORPUS_VERSION / f"sf{sf:g}"
 
 
+def atomic_publish(tmp: Path, final: Path) -> None:
+    """Promote a fully-written staging dir (must already hold ``_DONE``) to
+    ``final`` via one atomic rename.
+
+    Concurrency/crash contract: if a concurrent publisher won the rename
+    race (``final/_DONE`` exists), our staging copy is discarded — outputs
+    are deterministic, so both copies are identical. A ``final`` WITHOUT
+    the marker is a crashed run's debris: it is removed and the rename
+    retried once. Any other failure raises — a partial cache is never
+    silently served.
+    """
+    import shutil
+
+    try:
+        os.replace(tmp, final)
+        return
+    except OSError:
+        pass
+    if (final / "_DONE").exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    shutil.rmtree(final, ignore_errors=True)  # crashed-run debris
+    try:
+        os.replace(tmp, final)
+    except OSError as exc:
+        if (final / "_DONE").exists():  # lost a second race; winner is valid
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        raise RuntimeError(f"could not publish cache dir {final}") from exc
+
+
 def ensure_webpages(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
     """Write (once) the sharded web-pages parquet for a scale factor.
 
     Returns the directory holding ``webpages/part-*.parquet``. Idempotent and
-    concurrency-safe via a DONE marker + atomic rename.
+    concurrency-safe: each process stages into its own unique tmp dir (so a
+    racing writer can never tear another's files) and publishes with one
+    atomic rename guarded by the ``_DONE`` marker.
     """
+    import tempfile
+
     d = corpus_dir(sf, root)
     done = d / "webpages" / "_DONE"
     if done.exists():
         return d
-    tmp = d / "webpages.tmp"
-    tmp.mkdir(parents=True, exist_ok=True)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = Path(tempfile.mkdtemp(dir=d, prefix="webpages.tmp."))
     plan = shard_plan(pages_for_sf(sf))
 
     def _write(shard: int, start: int, n: int) -> None:
@@ -215,9 +250,5 @@ def ensure_webpages(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
         for p in plan:
             _write(*p)
     (tmp / "_DONE").write_text(CORPUS_VERSION)
-    final = d / "webpages"
-    try:
-        os.replace(tmp, final)
-    except OSError:
-        pass  # another process won the race; its output is identical
+    atomic_publish(tmp, d / "webpages")
     return d

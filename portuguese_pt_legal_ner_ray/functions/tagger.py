@@ -21,10 +21,14 @@ import re
 from dataclasses import dataclass
 
 from ..config import (
+    BIO_LABELS,
     CONFIDENCE_THRESHOLD,
     FIRST_NAMES,
+    ID_TO_LABEL,
+    LABEL_TO_ID,
     LAST_NAMES,
     LOCS,
+    MAX_LENGTH,
     ORGS,
     PT_MONTHS,
 )
@@ -151,9 +155,11 @@ class RegexGazetteerTagger(Tagger):
     ``tag_paragraph`` is the per-record hot path.
     """
 
-    def __init__(self, confidence_threshold: float = CONFIDENCE_THRESHOLD):
+    def __init__(self, confidence_threshold: float = CONFIDENCE_THRESHOLD,
+                 max_length: int = MAX_LENGTH):
         self.patterns = build_patterns()
         self.threshold = confidence_threshold
+        self.max_length = max_length
 
     # -- token-level tagging -------------------------------------------------
     def _token_tags(
@@ -226,14 +232,94 @@ class RegexGazetteerTagger(Tagger):
 
         Applies the reference's two output filters: confidence
         ``score >= threshold`` (src/inference.py:203, kept at equality) and
-        validity ``0 <= start < end <= len(text)`` (src/inference.py:209).
+        validity ``0 <= start < end <= len(text)`` (src/inference.py:209),
+        after truncating to ``max_length`` tokens (src/data.py:179-184
+        ``truncation=True, max_length=512``) — entities whose tokens fall
+        past the window are dropped, as a real checkpoint would.
         """
-        offsets = tokenize_with_offsets(text)
+        offsets = tokenize_with_offsets(text)[: self.max_length]
         if not offsets:
             return []
         tags, scores = self._token_tags(text, offsets)
         out = []
         for sp in self.decode_simple(offsets, tags, scores):
+            if sp.score >= self.threshold and 0 <= sp.start < sp.end <= len(text):
+                out.append(sp)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Logits decode path (the real-model wire format, exercised without a model)
+# ---------------------------------------------------------------------------
+
+
+class FakeLogitsModel:
+    """Deterministic per-token logits producer standing in for a HF forward
+    pass (reference src/inference.py:96 ``model(**inputs).logits``).
+
+    For each token it emits a ``[n_tokens, len(BIO_LABELS)]`` float64 logit
+    matrix whose argmax class is the gazetteer tagger's BIO tag and whose
+    softmax probability at the argmax equals the tagger's surface score
+    (chosen-class logit ``log((K-1)·p / (1-p))``, all others 0). This makes
+    the full logits → argmax → BIO → "simple"-aggregation decode path
+    testable in-sandbox with known-truth outputs.
+    """
+
+    def __init__(self):
+        self._ref = RegexGazetteerTagger()
+
+    def forward(self, text: str, offsets: list[tuple[int, int]]):
+        import numpy as np
+
+        tags, scores = self._ref._token_tags(text, offsets)
+        k = len(BIO_LABELS)
+        logits = np.zeros((len(offsets), k), dtype=np.float64)
+        for i, (tag, sc) in enumerate(zip(tags, scores)):
+            p = sc if tag != "O" else 0.97  # O confidence never reaches a span
+            p = min(max(p, 1e-6), 1 - 1e-6)
+            logits[i, LABEL_TO_ID[tag]] = np.log((k - 1) * p / (1 - p))
+        return logits
+
+
+class LogitsTagger(Tagger):
+    """Argmax decode over a per-token score matrix — the exact shape a real
+    ``AutoModelForTokenClassification`` checkpoint produces.
+
+    Reference-faithful chain (src/inference.py:65-96, 185-216 +
+    src/data.py:179-184): truncate to ``max_length`` tokens → model forward
+    (``model.forward(text, offsets) -> [n_tokens, n_labels]`` logits) →
+    softmax → argmax id → BIO tag + probability → the SHARED
+    ``RegexGazetteerTagger.decode_simple`` ("simple" aggregation) →
+    confidence ``>=`` + span-validity filters. Swapping ``FakeLogitsModel``
+    for a real checkpoint changes nothing downstream of the logit matrix.
+
+    Token probabilities are rounded to 6 decimals before aggregation so the
+    log/exp round-trip of the fake model cannot flip the inclusive
+    ``score >= threshold`` boundary (a pure-float artifact a real model
+    doesn't have).
+    """
+
+    def __init__(self, model=None, confidence_threshold: float = CONFIDENCE_THRESHOLD,
+                 max_length: int = MAX_LENGTH):
+        self.model = model or FakeLogitsModel()
+        self.threshold = confidence_threshold
+        self.max_length = max_length
+
+    def tag_paragraph(self, text: str) -> list[Span]:
+        import numpy as np
+
+        offsets = tokenize_with_offsets(text)[: self.max_length]
+        if not offsets:
+            return []
+        logits = np.asarray(self.model.forward(text, offsets), dtype=np.float64)
+        shifted = logits - logits.max(axis=1, keepdims=True)
+        probs = np.exp(shifted)
+        probs /= probs.sum(axis=1, keepdims=True)
+        ids = probs.argmax(axis=1)
+        tags = [ID_TO_LABEL[int(i)] for i in ids]
+        scores = np.round(probs[np.arange(len(ids)), ids], 6).tolist()
+        out = []
+        for sp in RegexGazetteerTagger.decode_simple(offsets, tags, scores):
             if sp.score >= self.threshold and 0 <= sp.start < sp.end <= len(text):
                 out.append(sp)
         return out

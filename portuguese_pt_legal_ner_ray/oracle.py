@@ -202,13 +202,14 @@ def ensure_goldens(sf: float, root: str = "/tmp/kgray_corpus") -> Path:
 
     pages = pads.dataset(sorted((d / "webpages").glob("part-*.parquet"))).to_table()
     goldens = run_oracle(pages)
-    tmp = d / "golden.tmp"
-    tmp.mkdir(parents=True, exist_ok=True)
+    import tempfile
+
+    from .corpus import atomic_publish
+
+    # unique per-process staging dir + atomic publish (see corpus.atomic_publish)
+    tmp = Path(tempfile.mkdtemp(dir=d, prefix="golden.tmp."))
     for name, tbl in goldens.items():
         pq.write_table(tbl, tmp / f"{name}.parquet")
     (tmp / "_DONE").write_text("ok")
-    try:
-        os.replace(tmp, gdir)
-    except OSError:
-        pass
+    atomic_publish(tmp, gdir)
     return gdir

@@ -60,6 +60,13 @@ def _partition_files(input_dir: str | Path, num_partitions: int) -> list[list[st
     return [files[i::n] for i in range(n)]
 
 
+def _files_sig(files: list[str]) -> list[list]:
+    """Cheap per-file identity: (path, size, mtime_ns). Resume validation
+    compares this, not just paths, so an in-place rewritten input file
+    invalidates the partition that consumed it."""
+    return [[f, (st := Path(f).stat()).st_size, st.st_mtime_ns] for f in files]
+
+
 def extract_partition(files: list[str], out_dir: Path, part: str,
                       cfg: PipelineConfig) -> dict:
     """One partition's linear section: read → text → explode → NER → write."""
@@ -92,6 +99,7 @@ def extract_partition(files: list[str], out_dir: Path, part: str,
     )
     return {
         "input_files": files,
+        "input_sig": _files_sig(files),
         "pages": parquet_row_count(ext_dir),
         "paragraphs": parquet_row_count(ner_dir),
     }
@@ -157,25 +165,55 @@ def run_kg_pipeline(
 ) -> Manifest:
     """Full pipeline with per-partition checkpoint/resume.
 
+    Resume validates, not just checks existence: an extract partition is
+    skipped only when its manifest row records the SAME input file list the
+    current plan assigns it, and the graph stage is skipped only when its
+    recorded plan fingerprint matches AND no extract partition re-ran —
+    rerunning against a changed input set or partition count can never
+    silently serve stale outputs. Stale partitions beyond the current plan
+    (a shrunk ``num_partitions``) are deleted before the graph stage reads
+    the extraction directory.
+
     ``fail_after_partitions`` injects a crash after N extract partitions —
     used by the kill-and-resume test only.
     """
+    import hashlib
+    import json
+
     cfg = cfg or PipelineConfig()
     out_dir = Path(out_dir)
     manifest = Manifest(out_dir)
+    plan = _partition_files(input_dir, num_partitions)
+    plan_sigs = [_files_sig(files) for files in plan]
+    plan_fp = hashlib.md5(json.dumps(plan_sigs).encode()).hexdigest()
     done_parts = 0
-    for i, files in enumerate(_partition_files(input_dir, num_partitions)):
+    ran_any = False
+    for i, files in enumerate(plan):
         part = f"{i:05d}"
-        if manifest.is_done("extract", part):
+        rec = manifest.read("extract", part)
+        if rec is not None and rec.get("input_sig") == plan_sigs[i]:
             continue
         if fail_after_partitions is not None and done_parts >= fail_after_partitions:
             raise RuntimeError("injected failure for resume test")
         meta = extract_partition(files, out_dir, part, cfg)
         manifest.mark_done("extract", part, **meta)
         done_parts += 1
-    if not manifest.is_done("graph", "all"):
+        ran_any = True
+    # drop partitions a previous (wider) plan produced that this plan no
+    # longer owns — graph_stage reads the whole extraction dir
+    for p in sorted(manifest.dir.glob("extract__*.json")):
+        idx = int(p.stem.split("__", 1)[1])
+        if idx >= len(plan):
+            p.unlink()
+            for sub in ("extracted", "extraction"):
+                stale = out_dir / sub / f"part={idx:05d}"
+                if stale.exists():
+                    shutil.rmtree(stale)
+            ran_any = True
+    grec = manifest.read("graph", "all")
+    if ran_any or grec is None or grec.get("plan_fp") != plan_fp:
         meta = graph_stage(out_dir, cfg, force_distributed_cc)
-        manifest.mark_done("graph", "all", **meta)
+        manifest.mark_done("graph", "all", plan_fp=plan_fp, **meta)
     return manifest
 
 

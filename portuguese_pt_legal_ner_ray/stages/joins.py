@@ -37,11 +37,12 @@ class BroadcastLookup:
         self.default = default
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = self.mapping
-        d = self.default
-        batch[self.out_col] = [
-            m.get(k, k if d is None else d) for k in batch[self.key_col]
-        ]
+        mapped = batch[self.key_col].map(self.mapping)  # vectorized dict lookup
+        if self.default is None:  # identity fallback for non-remapped keys
+            mapped = mapped.fillna(batch[self.key_col])
+        else:
+            mapped = mapped.fillna(self.default)
+        batch[self.out_col] = mapped
         return batch
 
 
@@ -88,8 +89,13 @@ def hash_join(ds_a, ds_b, key: str):
         left = g.loc[g["__src"] == 0, [key, *a_cols]]
         right = g.loc[g["__src"] == 1, [key, *b_cols]]
         merged = left.merge(right, on=key, how="inner")
-        # explicit schema so empty groups still emit typed Arrow blocks
-        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+        # explicit schema so empty groups still emit typed Arrow blocks;
+        # strip the b'pandas' schema metadata from_pandas attaches — it is a
+        # plain (unhashable) dict on this pyarrow, which defeats Ray's
+        # schema-dedup hash and floods logs with hash-failure warnings
+        return pa.Table.from_pandas(
+            merged, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     a_tagged = ds_a.map_batches(tag(0), batch_format="pandas")
     b_tagged = ds_b.map_batches(tag(1), batch_format="pandas")

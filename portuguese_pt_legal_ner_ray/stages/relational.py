@@ -38,7 +38,7 @@ def customers_per_region(sf_dir: str) -> Dataset:
 
     def add_region(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(lookup_ref)
-        return pd.DataFrame({"r_name": [m[k] for k in batch["c_nationkey"]]})
+        return pd.DataFrame({"r_name": batch["c_nationkey"].map(m)})
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     return grouped_count(cust.map_batches(add_region, batch_format="pandas"),
@@ -68,7 +68,7 @@ def orders_per_nation(sf_dir: str) -> Dataset:
 
     def add_name(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(name_ref)
-        batch["n_name"] = [m[k] for k in batch["c_nationkey"]]
+        batch["n_name"] = batch["c_nationkey"].map(m)
         return batch[["n_name", "n_orders"]]
 
     from .shuffle import grouped_agg
@@ -124,7 +124,7 @@ def parts_per_brand(sf_dir: str) -> Dataset:
 
     def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(brand_ref)
-        return pd.DataFrame({"p_brand": [m[k] for k in batch["l_partkey"]]})
+        return pd.DataFrame({"p_brand": batch["l_partkey"].map(m)})
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     return grouped_count(li.map_batches(add_brand, batch_format="pandas"),

@@ -48,10 +48,13 @@ class _PartialTopK:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.q_mat @ mat.T  # [nq, batch]
         k = min(self.k + 1, sims.shape[1])  # +1 so self-hits can be dropped later
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         q_out, id_out, sim_out = [], [], []
         for qi in range(sims.shape[0]):
-            for ci in top[qi]:
+            # tie-break by ascending vec_id INSIDE the partial: truncation on
+            # sim alone could drop the smallest-id candidate of a tie group
+            # at the cutoff, breaking the deterministic-tie contract
+            top = np.lexsort((ids, -sims[qi]))[:k]
+            for ci in top:
                 q_out.append(self.q_ids[qi])
                 id_out.append(ids[ci])
                 sim_out.append(sims[qi, ci])
@@ -126,11 +129,12 @@ def embedding_near_dup_pairs(
 ) -> Dataset:
     """All (id_a < id_b) pairs with cosine similarity >= threshold.
 
-    Embedding-cosine near-dup detection: the normalized matrix is broadcast
+    EXACT baseline, deliberately O(n²): the normalized matrix is broadcast
     once (numpy buffers are plasma zero-copy), each batch does one float64
-    matmul against it and keeps upper-triangle hits. O(n²) compute
-    distributed over batches; at corpus scale, route through ``ivf_topk``
-    cells first so only same-cell pairs are scored.
+    matmul against it and keeps upper-triangle hits. This exists to be the
+    DuckDB-``list_cosine_similarity``-checkable oracle for the scale path —
+    use :func:`embedding_near_dup_pairs_ivf` (cell-routed, no whole-table
+    materialization) on anything larger than an oracle-sized sample.
     """
     df = vectors.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
     mat = _norm_rows(np.array(df[emb_col].tolist(), dtype=np.float64))
@@ -155,6 +159,57 @@ def embedding_near_dup_pairs(
     return vectors.map_batches(scan, batch_format="pyarrow")
 
 
+def embedding_near_dup_pairs_ivf(
+    vectors: Dataset,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Cell-routed near-dup pairs: assign each vector to its nearest coarse
+    centroid, ``groupby(cell)``, score pairs only WITHIN each cell.
+
+    The scale path ``embedding_near_dup_pairs`` promises: nothing is
+    materialized on the driver (centroids are a partial-top-k pick of
+    ``n_cells`` rows) and compute drops from O(n²) to Σ|cell|².
+    Recall < 1 by design — near-dup pairs straddling a cell boundary are
+    missed (benchmarked via the planted-pair recall test, not hash-checked).
+    Partitioning assumption: a single cell's vectors fit one worker
+    (size ``n_cells`` to the corpus; salt hot cells if the embedding space
+    is degenerate).
+    """
+    cents_ref = ray.put(deterministic_centroids(vectors, n_cells, emb_col, id_col))
+
+    class AssignCell:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _norm_rows(_emb_matrix(batch, emb_col))
+            cells = (mat @ self.cents.T).argmax(axis=1)
+            return batch.append_column("__cell", pa.array(cells, pa.int64()))
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _norm_rows(_emb_matrix(g, emb_col))[order]
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        return pa.table({
+            "id_a": pa.array(ids[iu[0][keep]], pa.int64()),
+            "id_b": pa.array(ids[iu[1][keep]], pa.int64()),
+        })
+
+    return (
+        vectors.select_columns([id_col, emb_col])
+        .map_batches(AssignCell, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("__cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style coarse quantization (scale path)
 # ---------------------------------------------------------------------------
@@ -163,8 +218,26 @@ def embedding_near_dup_pairs(
 def deterministic_centroids(vectors: Dataset, n_cells: int,
                             emb_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Seedless, order-free centroid pick: the ``n_cells`` vectors with the
-    smallest ids (deterministic at any parallelism), L2-normalized."""
-    df = vectors.sort(id_col).limit(n_cells).to_pandas()
+    smallest ids (deterministic at any parallelism), L2-normalized.
+
+    Partial-top-k, not a full sort: each batch keeps its ``n_cells``
+    smallest ids, so the driver merges <= n_cells × num_blocks candidate
+    rows instead of sorting the whole vector table.
+    """
+
+    def smallest(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > n_cells:
+            keep = np.sort(np.argpartition(ids, n_cells)[:n_cells])
+            batch = batch.take(pa.array(keep, pa.int64()))
+        return batch.select([id_col, emb_col])
+
+    df = (
+        vectors.map_batches(smallest, batch_format="pyarrow")
+        .to_pandas()
+        .nsmallest(n_cells, id_col)
+        .sort_values(id_col)
+    )
     return _norm_rows(np.array(df[emb_col].tolist(), dtype=np.float64))
 
 
@@ -182,7 +255,7 @@ def ivf_topk(
     cents_ref = ray.put(cents)
     q = ray.get(queries_ref)
     q_probe = np.argsort(-(_norm_rows(q["mat"]) @ cents.T), axis=1)[:, :nprobe]
-    probe_ref = ray.put({qid: set(cells) for qid, cells in zip(q["ids"], q_probe)})
+    probe_ref = ray.put({qid: np.sort(cells) for qid, cells in zip(q["ids"], q_probe)})
 
     class CellPartial(_PartialTopK):
         def __init__(self, queries_ref, k, emb_col, id_col):
@@ -197,12 +270,11 @@ def ivf_topk(
             sims = self.q_mat @ mat.T
             q_out, id_out, sim_out = [], [], []
             for qi, qid in enumerate(self.q_ids):
-                probe = self.probe[qid]
-                mask = np.array([c in probe for c in cells])
+                mask = np.isin(cells, self.probe[qid])
                 if not mask.any():
                     continue
                 cand = np.where(mask)[0]
-                order = cand[np.argsort(-sims[qi, cand])][: self.k + 1]
+                order = cand[np.lexsort((ids[cand], -sims[qi, cand]))][: self.k + 1]
                 for ci in order:
                     q_out.append(qid)
                     id_out.append(ids[ci])

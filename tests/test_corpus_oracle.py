@@ -96,3 +96,30 @@ def test_oracle_links_org_variants():
     # only the lexicographic-min id survives as a node
     assert "ORG|autoridade tributaria" in ids
     assert "ORG|autoridade tributaria e aduaneira" not in ids
+
+
+def test_atomic_publish_crash_debris_and_race(tmp_path):
+    """A final dir without _DONE (crashed run) is replaced, never served;
+    a published final dir (with _DONE) wins and the loser's staging dir is
+    discarded."""
+    from portuguese_pt_legal_ner_ray.corpus import atomic_publish
+
+    final = tmp_path / "out"
+    final.mkdir()
+    (final / "partial.parquet").write_text("junk")  # no _DONE: crash debris
+    tmp = tmp_path / "stage1"
+    tmp.mkdir()
+    (tmp / "data.txt").write_text("good")
+    (tmp / "_DONE").write_text("ok")
+    atomic_publish(tmp, final)
+    assert (final / "_DONE").exists()
+    assert (final / "data.txt").read_text() == "good"
+    assert not (final / "partial.parquet").exists()
+
+    tmp2 = tmp_path / "stage2"
+    tmp2.mkdir()
+    (tmp2 / "data.txt").write_text("other")
+    (tmp2 / "_DONE").write_text("ok")
+    atomic_publish(tmp2, final)  # loses the race -> no-op on final
+    assert (final / "data.txt").read_text() == "good"
+    assert not tmp2.exists()

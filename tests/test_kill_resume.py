@@ -71,3 +71,35 @@ def test_sigkill_mid_run_then_resume(tmp_path):
     got = got.select(cols).sort_by([(c, "ascending") for c in cols])
     want = golden["spans"].select(cols).sort_by([(c, "ascending") for c in cols])
     assert got.equals(want.cast(got.schema))
+
+
+def test_resume_invalidates_on_changed_inputs(ray_session, tmp_path):
+    """Rerunning against a changed input set / partition count must NOT
+    serve stale extract or graph outputs (manifest rows are validated
+    against the current plan, not just for existence)."""
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.oracle import run_oracle
+    from portuguese_pt_legal_ner_ray.pipelines.kg import run_kg_pipeline
+
+    inp = tmp_path / "webpages"
+    inp.mkdir()
+    tables = [gen_pages_shard(s, s * 30, 30) for s in range(4)]
+    for s, t in enumerate(tables):
+        pq.write_table(t, inp / f"part-{s:05d}.parquet")
+    out = tmp_path / "out"
+    run_kg_pipeline(inp, out, num_partitions=4)
+
+    # change the input set: drop one shard, regenerate a different one
+    (inp / "part-00003.parquet").unlink()
+    pq.write_table(gen_pages_shard(9, 900, 30), inp / "part-00001.parquet")
+    kept = [tables[0], gen_pages_shard(9, 900, 30), tables[2]]
+    golden = run_oracle(pa.concat_tables(kept))
+
+    # fewer partitions than before: stale part=0000x dirs must be dropped too
+    run_kg_pipeline(inp, out, num_partitions=2)
+
+    got = pads.dataset(out / "graph" / "spans").to_table()
+    cols = ["url", "para_idx", "start", "end", "label", "surface"]
+    got = got.select(cols).sort_by([(c, "ascending") for c in cols])
+    want = golden["spans"].select(cols).sort_by([(c, "ascending") for c in cols])
+    assert got.equals(want.cast(got.schema))

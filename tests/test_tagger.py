@@ -77,3 +77,53 @@ def test_full_name_beats_weak_surname():
 def test_scores_deterministic():
     assert surface_score("ORG", "Banco de Portugal") == surface_score("ORG", "Banco de Portugal")
     assert 0.5 <= surface_score("ORG", "Banco de Portugal") <= 0.99
+
+
+def test_logits_tagger_golden_example():
+    """The full logits->argmax->BIO->simple-aggregation decode path must
+    reproduce the reference's canonical output (INFERENCE_README.md:74)."""
+    from portuguese_pt_legal_ner_ray.functions.tagger import LogitsTagger
+
+    text = "O réu João Silva foi notificado em Lisboa, em 12/02/1990."
+    got = {(s.start, s.end, s.label) for s in LogitsTagger().tag_paragraph(text)}
+    assert (6, 16, "PER") in got
+    assert (35, 41, "LOC") in got
+    assert (46, 56, "DAT") in got
+
+
+def test_logits_tagger_matches_regex_tagger_on_corpus():
+    """Fake-logits argmax decode == direct gazetteer decode, span for span
+    (same tags by construction; scores equal to softmax round-trip fuzz)."""
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.functions.tagger import LogitsTagger
+
+    lt, rt = LogitsTagger(), RegexGazetteerTagger()
+    pages = gen_pages_shard(0, 0, 60)
+    n_spans = 0
+    for text, lang in zip(pages["text"].to_pylist(), pages["lang"].to_pylist()):
+        if lang != "pt":
+            continue
+        for para in (p.strip() for p in text.split("\n") if p.strip()):
+            a, b = lt.tag_paragraph(para), rt.tag_paragraph(para)
+            assert [(s.start, s.end, s.label) for s in a] == [
+                (s.start, s.end, s.label) for s in b
+            ]
+            assert all(abs(x.score - y.score) < 1e-6 for x, y in zip(a, b))
+            n_spans += len(a)
+    assert n_spans > 50  # the parity claim is vacuous on an empty sample
+
+
+def test_max_length_truncation_drops_late_spans():
+    """Entities past the 512-token window are dropped; entities inside are
+    kept (reference src/data.py:179-184 truncation semantics)."""
+    from portuguese_pt_legal_ner_ray.functions.tagger import LogitsTagger
+
+    early = "João Silva compareceu."           # 4 tokens, PER at [0, 10)
+    filler = " ".join(["palavra"] * 520)        # pushes the next entity past 512
+    text = early + " " + filler + " " + "Ana Costa compareceu."
+    for tagger in (RegexGazetteerTagger(), LogitsTagger()):
+        spans = tagger.tag_paragraph(text)
+        assert [(s.start, s.end, s.label) for s in spans] == [(0, 10, "PER")]
+        # no truncation -> the late span IS found (proves the cap is the cause)
+    untruncated = RegexGazetteerTagger(max_length=10_000).tag_paragraph(text)
+    assert len(untruncated) == 2

@@ -135,6 +135,55 @@ def test_embedding_near_dup_finds_planted_pair(ray_session):
     assert len(pairs) <= 3  # random vectors rarely cross 0.95
 
 
+def test_embedding_near_dup_ivf_planted_recall(ray_session):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 16))
+    # planted outside the centroid seed range (ids 0..n_cells-1): two
+    # near-dups that are BOTH centroids would each win their own cell —
+    # a real, accepted recall edge of medoid-seeded IVF
+    planted = [(13, 17), (40, 41), (90, 119)]
+    for a, b in planted:
+        mat[b] = mat[a] + rng.normal(scale=0.01, size=16)
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+    }))
+    ivf = set(map(tuple, embedding_near_dup_pairs_ivf(
+        vecs, threshold=0.95, n_cells=8).to_pandas()[["id_a", "id_b"]].itertuples(index=False)))
+    # near-identical vectors share an argmax cell -> every planted pair found
+    for p in planted:
+        assert p in ivf
+    # and cell routing only ever MISSES pairs, never invents them
+    exact = set(map(tuple, embedding_near_dup_pairs(
+        vecs, threshold=0.95).to_pandas()[["id_a", "id_b"]].itertuples(index=False)))
+    assert ivf <= exact
+
+
+def test_partial_topk_tie_break_at_cutoff(ray_session):
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import brute_force_topk, make_query_ref
+
+    # 30 identical embeddings: every candidate ties on sim, so top-k must be
+    # the k smallest vec_ids — a partial that truncates on sim alone would
+    # keep arbitrary members of the tie group
+    n, k = 30, 5
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[1.0, 2.0, 3.0]] * n, pa.list_(pa.float32())),
+    })).repartition(3)
+    qref = make_query_ref(vecs, [0])
+    got = brute_force_topk(vecs, qref, k=k).to_pandas()
+    assert list(got["vec_id"]) == list(range(1, k + 1))
+
+
 def test_ivf_recall_reasonable(ray_session):
     import ray
 
