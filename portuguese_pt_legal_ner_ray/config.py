@@ -111,3 +111,8 @@ class PipelineConfig:
     ner_batch_size: int = 1024
     # actor pool size (min, max); None -> autoscale to (1, cluster CPUs)
     ner_concurrency: int | tuple[int, int] | None = None
+    # "regex" -> direct gazetteer decode; "logits" -> the real-model wire
+    # format (per-token logit matrix -> argmax -> BIO -> simple aggregation,
+    # functions/tagger.LogitsTagger). Identical outputs by construction;
+    # a real checkpoint plugs in as LogitsTagger's model.
+    tagger: str = "regex"

@@ -26,7 +26,7 @@ from .functions.html import render_html
 from .functions.normalize import normalize_surface
 
 # bump to invalidate cached corpora + goldens under /tmp
-CORPUS_VERSION = "v4"
+CORPUS_VERSION = "v5"
 
 # Finite value pools: real web corpora have heavy-tailed entity
 # distributions (the same dates, process numbers and contacts recur across

@@ -27,15 +27,39 @@ def _hash_params(num_hashes: int, seed: str = "kgray") -> tuple[np.ndarray, np.n
     return a, b
 
 
-def shingles(text: str, k: int = 3) -> set[int]:
-    """Stable 32-bit hashes of char k-grams (md5-based, process-stable)."""
-    if len(text) < k:
-        grams = [text] if text else []
+_SH_BASE = np.uint64(1099511628211)  # FNV-64 prime as polynomial base
+
+
+def _gram_hashes(text: str, k: int) -> np.ndarray:
+    """uint32[n_grams] — vectorized polynomial hash of every char k-gram.
+
+    One numpy pass over the codepoint array (sliding windows × base powers,
+    fmix64 finalizer) instead of an md5 call PER GRAM: this runs once per
+    document in banding and once per candidate doc in verification, so the
+    per-gram Python/md5 loop dominated the whole near-dup profile.
+    Process-stable: pure integer math mod 2^64, no interpreter hash seed.
+    """
+    if not text:
+        return np.empty(0, dtype=np.uint32)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        win = cp[None, :]
+        pw = _SH_BASE ** np.arange(len(cp), dtype=np.uint64)
     else:
-        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
-    return {
-        int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") for g in grams
-    }
+        win = np.lib.stride_tricks.sliding_window_view(cp, k)
+        pw = _SH_BASE ** np.arange(k, dtype=np.uint64)
+    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Stable 32-bit hashes of char k-grams (vectorized, process-stable)."""
+    return set(np.unique(_gram_hashes(text, k)).tolist())
 
 
 class MinHasher:
@@ -48,10 +72,9 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         """uint32[num_hashes] minhash signature of the char-shingle set."""
-        sh = shingles(text, self.k)
-        if not sh:
+        x = np.unique(_gram_hashes(text, self.k)).astype(np.uint64)
+        if len(x) == 0:
             return np.zeros(self.num_hashes, dtype=np.uint32)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
         # (a*x + b) mod p, vectorized over shingles for every hash function
         hv = (x[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return (hv.min(axis=1) & _MAXH).astype(np.uint32)

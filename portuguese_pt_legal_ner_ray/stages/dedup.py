@@ -56,8 +56,10 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id",
             ["fingerprint"],
             {"keep_id": (id_col, "min"), "n_dups": ("n", "sum")},
         )
+    from .shuffle import strip_schema_metadata
+
     return (
-        docs.select_columns([id_col, text_col])
+        strip_schema_metadata(docs.select_columns([id_col, text_col]))
         .groupby(text_col)
         .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
     )
@@ -103,6 +105,10 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# per-worker-process shingle memo for the LSH verify stage, keyed by shingle_k
+_VERIFY_SHINGLES: dict[int, dict[int, set[int]]] = {}
+
+
 class MinhashBandStage:
     """doc -> one row per LSH band: (band, doc_id). Stateful hasher per actor."""
 
@@ -145,30 +151,46 @@ def minhash_lsh_pairs(
     the corpus); nothing is materialized on the driver and no whole-corpus
     broadcast is made. When None, pairs are returned unverified.
     """
+    import numpy as np
+
+    from .shuffle import grouped_count, hash_strings
+
     cfg = cfg or LinkingConfig(num_hashes=32, num_bands=8, shingle_k=5)
     # task mode (warm workers), not an actor pool: the hasher state is a
     # cheap build, and pool startup would dominate at this stage size
     stage = MinhashBandStage(cfg=cfg, text_col=text_col)
-    bands = docs.map_batches(stage, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash_strings(t["band"]) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    # route whole LSH bands by band-hash so pair generation runs once per
+    # BUCKET (64 UDF calls) instead of once per band (one Python call per
+    # distinct band key — tens of thousands)
+    bands = docs.map_batches(stage, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
+        import pandas as pd
+
+        df = pd.DataFrame({"band": group["band"].to_pandas(),
+                           "doc_id": group["doc_id"].to_pandas()})
         a, b = [], []
-        n = len(ids)
-        for i in range(n):
-            hi = n if n <= dense_bucket_cap else min(i + 1 + cfg.window, n)
-            for j in range(i + 1, hi):
-                a.append(ids[i])
-                b.append(ids[j])
+        for _, ids_s in df.groupby("band", sort=False)["doc_id"]:
+            ids = sorted(ids_s)
+            n = len(ids)
+            for i in range(n):
+                hi = n if n <= dense_bucket_cap else min(i + 1 + cfg.window, n)
+                for j in range(i + 1, hi):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
-    pairs = (
-        bands.groupby("band")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
-    )
+    pairs = grouped_count(
+        bands.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["id_a", "id_b"],
+    ).select_columns(["id_a", "id_b"])
     if verify_docs is None:
         return pairs
 
@@ -199,10 +221,24 @@ def minhash_lsh_pairs(
     with_b = hash_join(with_a, docs_b, key="id_b")
 
     def verify(batch: pa.Table) -> pa.Table:
+        # warm-task shingle memo: a candidate doc appears in many pairs, so
+        # its shingle set is built once per worker process, not once per
+        # pair; the module-global cache is bounded (cleared at 50k entries)
+        cache = _VERIFY_SHINGLES.setdefault(cfg.shingle_k, {})
+
+        def sh(doc_id: int, text: str) -> set[int]:
+            s = cache.get(doc_id)
+            if s is None:
+                if len(cache) > 50_000:
+                    cache.clear()
+                s = cache[doc_id] = shingles(text.lower(), cfg.shingle_k)
+            return s
+
         keep = [
-            jaccard(shingles(ta.lower(), cfg.shingle_k),
-                    shingles(tb.lower(), cfg.shingle_k)) >= threshold
-            for ta, tb in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+            jaccard(sh(ia, ta), sh(ib, tb)) >= threshold
+            for ia, ta, ib, tb in zip(
+                batch["id_a"].to_pylist(), batch["text_a"].to_pylist(),
+                batch["id_b"].to_pylist(), batch["text_b"].to_pylist())
         ]
         return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 

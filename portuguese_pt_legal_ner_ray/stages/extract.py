@@ -90,7 +90,12 @@ class NerTripleStage:
     def __init__(self, cfg: PipelineConfig | None = None,
                  dynamic_batching: bool = False, token_budget: int = 8192):
         cfg = cfg or PipelineConfig()
-        self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
+        if cfg.tagger == "logits":  # real-model wire format (argmax decode)
+            from ..functions.tagger import LogitsTagger
+
+            self.tagger = LogitsTagger(confidence_threshold=cfg.confidence_threshold)
+        else:
+            self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
         self.dynamic_batching = dynamic_batching
         self.token_budget = token_budget
 

@@ -93,6 +93,19 @@ def _agg_select(g: pa.Table, cols: list[str], agg_names: list[str],
     return g.select([*cols, *agg_names]).rename_columns([*cols, *outs])
 
 
+def strip_schema_metadata(ds: Dataset) -> Dataset:
+    """Drop schema-level metadata from every block (fused, zero-copy).
+
+    Parquet written via pandas carries a ``b'pandas'`` schema-metadata blob;
+    on this pyarrow ``Schema.metadata`` is a plain dict, which is unhashable
+    and defeats Ray's block-schema dedup (every shuffle reduce then logs a
+    hash-failure warning). Apply after a read that feeds a Ray-native
+    ``groupby``/``sort``.
+    """
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_count(ds: Dataset, cols: list[str], alias: str = "count",
                   num_buckets: int = 64) -> Dataset:
     """Exact ``groupby(cols).count()`` with combiner + bucketed merge."""
@@ -107,7 +120,7 @@ def grouped_count(ds: Dataset, cols: list[str], alias: str = "count",
         return _agg_select(out, cols, [f"{alias}_sum"], [alias])
 
     return (
-        ds.map_batches(preagg, batch_format="pyarrow")
+        ds.map_batches(preagg, batch_format="pyarrow", batch_size=None)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -143,8 +156,11 @@ def grouped_agg(ds: Dataset, cols: list[str], agg_spec: dict[str, tuple[str, str
         return _agg_select(out, cols, [f"{o}_{h}" for o, h in aggs], outs)
 
     first = bucketize_only if pre_aggregated else preagg
+    # batch_size=None -> whole blocks: the combiner's reduction ratio (and
+    # therefore the shuffle volume) scales with batch size, and the Arrow
+    # C++ hash aggregation is cheapest amortized over large batches
     return (
-        ds.map_batches(first, batch_format="pyarrow")
+        ds.map_batches(first, batch_format="pyarrow", batch_size=None)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -118,8 +118,10 @@ def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
         out["session_idx"] = range(len(out))
         return out[["user_id", "session_idx", "n_events", "session_start", "session_end"]]
 
+    from .shuffle import strip_schema_metadata
+
     return (
-        events.select_columns(["user_id", "event_id", "ts"])
+        strip_schema_metadata(events.select_columns(["user_id", "event_id", "ts"]))
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )

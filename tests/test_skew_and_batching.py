@@ -147,3 +147,36 @@ def test_skewed_hot_cluster_links_fully(ray_session):
     # the hot cluster collapses into very few components (fully connected
     # in the oracle; distributed path must agree exactly regardless)
     assert n_comps_oracle < n // 10
+
+
+def test_logits_tagger_pipeline_stage_parity(ray_session):
+    """The actor-pool NER stage driven by the logits decode path (the real
+    HF wire format) produces span-identical output to the gazetteer path."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.config import PipelineConfig
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.stages.extract import (
+        NerTripleStage,
+        explode_batch,
+        extract_text_batch,
+        flatten_spans,
+    )
+
+    pages = ray.data.from_arrow(gen_pages_shard(2, 0, 80))
+
+    def spans_with(cfg):
+        ds = (
+            pages.map_batches(extract_text_batch, batch_format="pyarrow")
+            .map_batches(explode_batch, batch_format="pyarrow")
+            .map_batches(NerTripleStage, batch_format="pyarrow",
+                         concurrency=2, fn_constructor_kwargs=dict(cfg=cfg))
+            .map_batches(flatten_spans, batch_format="pyarrow")
+        )
+        cols = ["url", "para_idx", "start", "end", "label"]
+        return ds.to_pandas().sort_values(cols).reset_index(drop=True)[cols]
+
+    a = spans_with(PipelineConfig(tagger="logits"))
+    b = spans_with(PipelineConfig())
+    assert len(a) > 100
+    assert a.equals(b)
