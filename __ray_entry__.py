@@ -245,6 +245,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4)
 
+    def events_heavy_hitters(sf_dir: str):
+        """Count-min heavy hitters; width >> cardinality -> exact, SQL-checkable."""
+        from portuguese_pt_legal_ner_ray.stages.sketches import heavy_hitters
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        return heavy_hitters(ev, "event_type", k=10, width=4096)
+
     def events_tumbling_hour(sf_dir: str):
         return tumbling_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
@@ -378,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": lang_histogram,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "events_heavy_hitters": events_heavy_hitters,
         "events_tumbling_hour": events_tumbling_hour,
         "events_sessionize": events_sessionize,
         "media_decode": media_decode,
@@ -495,6 +503,9 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY sim DESC, vec_id) AS rk
                        FROM s)
             SELECT query_id, vec_id FROM r WHERE rk <= 10""",
+        "events_heavy_hitters": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10""",
         "events_tumbling_hour": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, min(value) AS min_value, max(value) AS max_value

@@ -98,6 +98,10 @@ class NerTripleStage:
             self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
         self.dynamic_batching = dynamic_batching
         self.token_budget = token_budget
+        # bounded per-actor memo: tagging is a pure function of the text and
+        # web corpora repeat boilerplate paragraphs heavily, so identical
+        # paragraphs are decoded once per actor (cleared at 64k entries)
+        self._memo: dict[str, tuple[list, str | None]] = {}
 
     def _tag_one(self, text: str):
         """-> (spans, error). The reference swallows per-paragraph errors
@@ -105,10 +109,17 @@ class NerTripleStage:
         forbids replicating: here failures are quarantined with lineage (the
         row carries the error string and empty spans; the pipeline surfaces
         an errors table) instead of silently dropping entities."""
+        hit = self._memo.get(text)
+        if hit is not None:
+            return hit
         try:
-            return self.tagger.tag_paragraph(text), None
+            out = self.tagger.tag_paragraph(text), None
         except Exception as exc:  # noqa: BLE001 - poison-pill quarantine
-            return [], f"{type(exc).__name__}: {exc}"
+            out = [], f"{type(exc).__name__}: {exc}"
+        if len(self._memo) > 65_536:
+            self._memo.clear()
+        self._memo[text] = out
+        return out
 
     def _tag_many(self, texts: list[str]) -> list[tuple[list, str | None]]:
         if not self.dynamic_batching:

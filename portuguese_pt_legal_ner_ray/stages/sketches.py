@@ -15,6 +15,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 _MAX32 = float(1 << 32)
@@ -48,3 +49,77 @@ def merge_kmv(sketches: list[np.ndarray], k: int) -> np.ndarray:
     """Union of KMV sketches = k smallest of the union (mergeable proof)."""
     return np.array(sorted(heapq.nsmallest(k, set().union(*map(set, sketches)))),
                     dtype=np.uint64)
+
+
+def heavy_hitters(ds: Dataset, col: str, k: int = 10,
+                  width: int = 4096, depth: int = 4) -> "pd.DataFrame":
+    """Count-min-sketch heavy hitters: top-``k`` values of ``col`` by count.
+
+    Decomposable: each batch emits (a) its local count-min matrix (depth ×
+    width uint64 — CMS matrices merge by elementwise sum) and (b) its local
+    candidate set (values that could be heavy). The driver sums the
+    matrices, estimates each candidate's count from the merged CMS (min
+    across rows — the classic upward-biased estimator) and keeps the top-k,
+    ties broken by value. Memory is O(depth × width + candidates) per
+    worker and on the driver — never O(distinct values).
+
+    Exact-degradation contract (same as ``approx_distinct``): when ``width``
+    is much larger than the distinct-value cardinality, no candidate shares
+    a slot with another value in ALL ``depth`` rows, every estimate is the
+    true count and the result is SQL-checkable (`GROUP BY ... ORDER BY count DESC, value
+    LIMIT k`). At 10^12 rows, fix width/depth to the memory budget and
+    accept the ±εN overestimate.
+    """
+    import pandas as pd
+
+    from .shuffle import hash_strings
+
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def row_idx(h: np.ndarray, d: int) -> np.ndarray:
+        # full avalanche per row: a bare (h ^ seed) * C keeps the low bits
+        # of every row a function of the low bits of h alone, so rows would
+        # collide TOGETHER for power-of-two widths (seen in testing);
+        # fmix64 makes each row an independent slot assignment
+        x = h ^ seeds[d]
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+        return (x % np.uint64(width)).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[col], pa.string())
+        h = hash_strings(vals.combine_chunks()
+                         if isinstance(vals, pa.ChunkedArray) else vals)
+        cms = np.zeros((depth, width), dtype=np.uint64)
+        for d in range(depth):
+            np.add.at(cms[d], row_idx(h, d), 1)
+        # local candidates: this batch's top-4k by true local count (4x
+        # over-sampling guards against a global heavy hitter that is only
+        # rank k+1..4k inside every batch; a value below that in EVERY
+        # batch cannot be a global top-k under any near-uniform split)
+        vc = pd.Series(vals.to_pandas()).value_counts()
+        cand = vc.nlargest(4 * k).index.tolist()
+        n = max(len(cand), 1)
+        return pa.table({
+            "cms": pa.array([cms.tobytes()] + [b""] * (n - 1), pa.binary()),
+            "cand": pa.array((cand + [""] * (n - len(cand)))[:n], pa.string()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    merged = np.zeros((depth, width), dtype=np.uint64)
+    for blob in parts["cms"]:
+        if blob:
+            merged += np.frombuffer(blob, dtype=np.uint64).reshape(depth, width)
+    cands = sorted({c for c in parts["cand"] if c})
+    if not cands:
+        return pd.DataFrame({col: [], "n": []})
+    h = hash_strings(pa.array(cands, pa.string()))
+    est = np.full(len(cands), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for d in range(depth):
+        est = np.minimum(est, merged[d, row_idx(h, d)])
+    out = pd.DataFrame({col: cands, "n": est.astype(np.int64)})
+    return (out.sort_values(["n", col], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -118,3 +118,25 @@ def test_grouped_agg_matches_pandas(ray_session, rand_tbl):
     got = got.sort_values("k1").reset_index(drop=True)[["k1", "mn", "mx", "tot"]]
     want = want.sort_values("k1").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_count_min_heavy_hitters(ray_session):
+    """Exact-degradation (width >= cardinality) reproduces the true top-k
+    with deterministic tie-break; the sketch is parallelism-independent."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vals = [f"v{int(x)}" for x in rng.zipf(1.5, 30000) if x < 400]
+    truth = pd.Series(vals).value_counts()
+    want = sorted(zip(-truth.values, truth.index))[:8]
+    for parts in (2, 13):
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.string())})).repartition(parts)
+        hh = heavy_hitters(ds, "v", k=8, width=16384)
+        assert list(hh["n"]) == [-w[0] for w in want]
+        assert list(hh["v"]) == [w[1] for w in want]
