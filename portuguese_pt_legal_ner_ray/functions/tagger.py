@@ -280,6 +280,11 @@ class FakeLogitsModel:
             logits[i, LABEL_TO_ID[tag]] = np.log((k - 1) * p / (1 - p))
         return logits
 
+    def forward_batch(self, texts, offsets_list):
+        """Dynamic-padding batched forward (one padded tensor per call —
+        the wire shape ``length_sorted_batches`` plans for)."""
+        return _pad_forward_batch(self, texts, offsets_list)
+
 
 class LogitsTagger(Tagger):
     """Argmax decode over a per-token score matrix — the exact shape a real
@@ -305,13 +310,10 @@ class LogitsTagger(Tagger):
         self.threshold = confidence_threshold
         self.max_length = max_length
 
-    def tag_paragraph(self, text: str) -> list[Span]:
+    def _decode(self, text: str, offsets, logits) -> list[Span]:
         import numpy as np
 
-        offsets = tokenize_with_offsets(text)[: self.max_length]
-        if not offsets:
-            return []
-        logits = np.asarray(self.model.forward(text, offsets), dtype=np.float64)
+        logits = np.asarray(logits, dtype=np.float64)
         shifted = logits - logits.max(axis=1, keepdims=True)
         probs = np.exp(shifted)
         probs /= probs.sum(axis=1, keepdims=True)
@@ -323,3 +325,44 @@ class LogitsTagger(Tagger):
             if sp.score >= self.threshold and 0 <= sp.start < sp.end <= len(text):
                 out.append(sp)
         return out
+
+    def tag_paragraph(self, text: str) -> list[Span]:
+        offsets = tokenize_with_offsets(text)[: self.max_length]
+        if not offsets:
+            return []
+        return self._decode(text, offsets, self.model.forward(text, offsets))
+
+    def tag_batch(self, texts: list[str]) -> list[list[Span]]:
+        """Batched inference through the model's padded ``forward_batch`` —
+        one padded tensor per call, per-text decode identical to
+        ``tag_paragraph`` (padding is sliced off before decode, so batching
+        is semantics-neutral by construction)."""
+        offsets_list = [tokenize_with_offsets(t)[: self.max_length] for t in texts]
+        keep = [i for i, o in enumerate(offsets_list) if o]
+        fwd = getattr(self.model, "forward_batch", None)
+        if fwd is None:
+            mats = [self.model.forward(texts[i], offsets_list[i]) for i in keep]
+        else:
+            mats = fwd([texts[i] for i in keep], [offsets_list[i] for i in keep])
+        out: list[list[Span]] = [[] for _ in texts]
+        for i, m in zip(keep, mats):
+            out[i] = self._decode(texts[i], offsets_list[i], m)
+        return out
+
+
+def _pad_forward_batch(model, texts, offsets_list):
+    """Shared padded-batch plan: stack per-text logits into one zero-padded
+    ``[B, L_max, K]`` tensor (exactly what a real checkpoint's batched
+    forward produces under dynamic padding) and hand back per-text views
+    with the padding sliced off."""
+    import numpy as np
+
+    mats = [model.forward(t, o) for t, o in zip(texts, offsets_list)]
+    if not mats:
+        return []
+    k = len(BIO_LABELS)
+    lmax = max((m.shape[0] for m in mats), default=0)
+    batch = np.zeros((len(mats), max(lmax, 1), k), dtype=np.float64)
+    for i, m in enumerate(mats):
+        batch[i, : m.shape[0]] = m
+    return [batch[i, : m.shape[0]] for i, m in enumerate(mats)]

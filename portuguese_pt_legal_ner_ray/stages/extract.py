@@ -126,10 +126,21 @@ class NerTripleStage:
             return [self._tag_one(t) for t in texts]
         from ..functions.tagger import length_sorted_batches
 
+        tag_batch = getattr(self.tagger, "tag_batch", None)
         out: list = [None] * len(texts)
         for idx_batch in length_sorted_batches(texts, self.token_budget):
-            for i in idx_batch:  # one padded forward pass per idx_batch
-                out[i] = self._tag_one(texts[i])
+            if tag_batch is None:
+                for i in idx_batch:
+                    out[i] = self._tag_one(texts[i])
+                continue
+            sub = [texts[i] for i in idx_batch]
+            try:
+                # ONE padded forward pass per length-sorted sub-batch
+                for i, spans in zip(idx_batch, tag_batch(sub)):
+                    out[i] = (spans, None)
+            except Exception:  # noqa: BLE001 - isolate the poison row
+                for i in idx_batch:
+                    out[i] = self._tag_one(texts[i])
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

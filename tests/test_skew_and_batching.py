@@ -180,3 +180,31 @@ def test_logits_tagger_pipeline_stage_parity(ray_session):
     b = spans_with(PipelineConfig())
     assert len(a) > 100
     assert a.equals(b)
+
+
+def test_logits_batched_forward_semantics_neutral(ray_session):
+    """Dynamic batching through the padded forward_batch path (one tensor
+    per length-sorted sub-batch) yields identical spans to per-paragraph
+    forward passes."""
+    import pyarrow as pa
+
+    from portuguese_pt_legal_ner_ray.config import PipelineConfig
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.stages.extract import NerTripleStage
+
+    pages = gen_pages_shard(5, 0, 40)
+    paras, langs = [], []
+    for text, lang in zip(pages["text"].to_pylist(), pages["lang"].to_pylist()):
+        for p in (x.strip() for x in text.split("\n") if x.strip()):
+            paras.append(p)
+            langs.append(lang)
+    batch = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(paras))], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "para_idx": pa.array([0] * len(paras), pa.int32()),
+        "para_text": pa.array(paras, pa.string()),
+    })
+    cfg = PipelineConfig(tagger="logits")
+    batched = NerTripleStage(cfg=cfg, dynamic_batching=True, token_budget=64)(batch)
+    plain = NerTripleStage(cfg=cfg)(batch)
+    assert batched.equals(plain)
