@@ -245,6 +245,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4)
 
+    def orders_price_quantiles(sf_dir: str):
+        """Distributed exact quantiles (value-histogram shuffle)."""
+        from portuguese_pt_legal_ner_ray.stages.sketches import histogram_quantiles
+
+        orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                       columns=["o_totalprice"])
+        return histogram_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9])
+
     def events_heavy_hitters(sf_dir: str):
         """Count-min heavy hitters; width >> cardinality -> exact, SQL-checkable."""
         from portuguese_pt_legal_ner_ray.stages.sketches import heavy_hitters
@@ -385,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": lang_histogram,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "orders_price_quantiles": orders_price_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
         "events_tumbling_hour": events_tumbling_hour,
         "events_sessionize": events_sessionize,
@@ -503,6 +512,12 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY sim DESC, vec_id) AS rk
                        FROM s)
             SELECT query_id, vec_id FROM r WHERE rk <= 10""",
+        "orders_price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS value FROM orders
+            UNION ALL SELECT 0.5, CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) FROM orders
+            UNION ALL SELECT 0.75, CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) FROM orders
+            UNION ALL SELECT 0.9, CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) FROM orders""",
         "events_heavy_hitters": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10""",

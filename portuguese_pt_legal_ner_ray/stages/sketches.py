@@ -123,3 +123,34 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
     out = pd.DataFrame({col: cands, "n": est.astype(np.int64)})
     return (out.sort_values(["n", col], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def histogram_quantiles(ds: Dataset, col: str, qs: list[float]) -> "pd.DataFrame":
+    """Exact discrete quantiles via a distributed value histogram.
+
+    The shuffle carries one row per DISTINCT value (grouped_count combiner),
+    never one per input row; the driver cumsums the (value, count) histogram
+    — O(distinct values), the standard exact-quantile pattern for columns
+    with bounded value cardinality (prices, durations, sizes). For unbounded
+    continuous columns, quantize first or use a mergeable sketch instead.
+
+    Matches DuckDB ``quantile_disc``: the result for ``q`` is the value at
+    0-indexed rank ``ceil(q*n) - 1`` of the sorted column (inverse CDF).
+    -> DataFrame (q, value), one row per requested quantile.
+    """
+    import math
+
+    import pandas as pd
+
+    from .shuffle import grouped_count
+
+    hist = grouped_count(ds.select_columns([col]), [col], alias="n").to_pandas()
+    hist = hist.sort_values(col).reset_index(drop=True)
+    cum = hist["n"].cumsum()
+    total = int(cum.iloc[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        rank = max(1, math.ceil(q * total))  # 1-indexed target rank
+        idx = int(cum.searchsorted(rank, side="left"))
+        out.append({"q": q, "value": float(hist[col].iloc[idx])})
+    return pd.DataFrame(out)

@@ -140,3 +140,45 @@ def test_count_min_heavy_hitters(ray_session):
         hh = heavy_hitters(ds, "v", k=8, width=16384)
         assert list(hh["n"]) == [-w[0] for w in want]
         assert list(hh["v"]) == [w[1] for w in want]
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    """Bucketed hash_join == pandas inner merge, including keys present on
+    only one side and multi-row key groups (cross product within key)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300), "a": rng.integers(0, 9, 300)})
+    right = pd.DataFrame({"k": rng.integers(25, 80, 200), "b": rng.integers(0, 9, 200)})
+    ds_a = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+    ds_b = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    got = hash_join(ds_a, ds_b, key="k").to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    cols = ["k", "a", "b"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_histogram_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.gamma(2.0, 40.0, 5000), 2)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})).repartition(7)
+    got = histogram_quantiles(ds, "v", [0.1, 0.5, 0.99])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals.tolist()])
+    for _, r in got.iterrows():
+        want = con.execute(f"SELECT quantile_disc(v, {r.q}) FROM t").fetchone()[0]
+        assert abs(want - r.value) < 1e-9
