@@ -245,6 +245,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4)
 
+    def doc_mlm_batches(sf_dir: str):
+        """M5: MLM tokenize + deterministic 15% / 80-10-10 collator masking
+        (per-row stats projected so the rows-only check can hash them; the
+        raw padded input_ids/labels layout is pytest-covered)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from portuguese_pt_legal_ner_ray.functions.align import IGNORE_ID, mlm_mask_batch
+
+        def op(t: pa.Table) -> pa.Table:
+            out = mlm_mask_batch(t)
+            att = out["attention_mask"].to_pylist()
+            lab = out["labels"].to_pylist()
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array([sum(a) for a in att], pa.int64()),
+                "n_masked": pa.array(
+                    [sum(1 for x in row if x != IGNORE_ID) for row in lab], pa.int64()),
+            })
+
+        return _docs(sf_dir).map_batches(op, batch_format="pyarrow")
+
     def orders_price_quantiles(sf_dir: str):
         """Distributed exact quantiles (value-histogram shuffle)."""
         from portuguese_pt_legal_ner_ray.stages.sketches import histogram_quantiles
@@ -393,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": lang_histogram,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "doc_mlm_batches": doc_mlm_batches,
         "orders_price_quantiles": orders_price_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
         "events_tumbling_hour": events_tumbling_hour,

@@ -66,3 +66,81 @@ def strip_masked(gold_ids: list[int], pred_ids: list[int],
         gold.append(id_to_label[g])
         pred.append(id_to_label[p])
     return gold, pred
+
+
+# ---------------------------------------------------------------------------
+# MLM data prep (reference M5 + the MLM side of A4)
+# ---------------------------------------------------------------------------
+
+MASK_ID = 4  # conventional special-token slot for [MASK]
+_SPECIAL_IDS = 16  # ids 0..15 reserved (pad/cls/sep/unk/mask/...)
+PAD_ID = 0
+VOCAB_SIZE = 32_000
+
+
+def _word_id(word: str) -> int:
+    """Deterministic hash vocab id (stand-in for a real WordPiece vocab)."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(word.lower().encode()).digest()[:4], "big")
+    return _SPECIAL_IDS + h % (VOCAB_SIZE - _SPECIAL_IDS)
+
+
+def mlm_mask_batch(batch, text_col: str = "text", mask_prob: float = 0.15,
+                   max_length: int = 512, seed: str = "kgray-mlm"):
+    """Masked-LM batch prep: the Ray data-op equivalent of the reference's
+    MLM tokenizer + ``DataCollatorForLanguageModeling(mlm_probability=0.15)``
+    (reference src/data.py:336-345 trunc/pad tokenize; src/models.py:170-172
+    collator).
+
+    Per HF collator semantics: ~``mask_prob`` of tokens are selected; of
+    those, 80% become [MASK], 10% a random vocab id, 10% stay unchanged;
+    ``labels`` holds the original id at selected positions and -100
+    elsewhere; sequences truncate at ``max_length`` and pad to the batch
+    max (``attention_mask`` 0 on padding). Selection uses a position-keyed
+    md5 draw instead of the collator's RNG, so the masking is a pure
+    function of (text, position, seed) — identical at any parallelism,
+    reproducible across runs (SURVEY.md §4 determinism contract; the
+    reference's seeded-RNG masking is order-dependent by construction).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    from .tagger import tokenize_with_offsets
+
+    texts = batch[text_col].to_pylist()
+    rows = []
+    for text in texts:
+        words = [text[s:e] for s, e in tokenize_with_offsets(text)[:max_length]]
+        ids = [_word_id(w) for w in words]
+        inp, labels = [], []
+        for pos, tid in enumerate(ids):
+            d = int.from_bytes(
+                hashlib.md5(f"{seed}|{text}|{pos}".encode()).digest()[:8], "big")
+            draw = (d % 10_000) / 10_000.0
+            if draw < mask_prob:
+                labels.append(tid)
+                sub = d >> 32
+                if draw < mask_prob * 0.8:          # 80%: [MASK]
+                    inp.append(MASK_ID)
+                elif draw < mask_prob * 0.9:        # 10%: random id
+                    inp.append(_SPECIAL_IDS + sub % (VOCAB_SIZE - _SPECIAL_IDS))
+                else:                                # 10%: unchanged
+                    inp.append(tid)
+            else:
+                labels.append(IGNORE_ID)
+                inp.append(tid)
+        rows.append((inp, labels))
+    lmax = max((len(r[0]) for r in rows), default=1)
+    input_ids, attention, labels_col = [], [], []
+    for inp, lab in rows:
+        pad = lmax - len(inp)
+        input_ids.append(inp + [PAD_ID] * pad)
+        attention.append([1] * len(inp) + [0] * pad)
+        labels_col.append(lab + [IGNORE_ID] * pad)
+    return pa.table({
+        "input_ids": pa.array(input_ids, pa.list_(pa.int32())),
+        "attention_mask": pa.array(attention, pa.list_(pa.int8())),
+        "labels": pa.array(labels_col, pa.list_(pa.int32())),
+    })

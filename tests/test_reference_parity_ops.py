@@ -183,3 +183,44 @@ def test_cli_report_and_build(mini_run, capsys, tmp_path):
     assert stages == {"extract", "graph"}
     # build on an already-complete out_dir resumes instantly via manifests
     assert main(["build", str(mini_run["input"]), str(mini_run["out"])]) == 0
+
+
+def test_mlm_mask_batch_collator_semantics():
+    """M5 + MLM collator parity (reference src/data.py:336-345,
+    src/models.py:170-172): ~15% of tokens selected; of those 80% [MASK],
+    10% random, 10% unchanged; labels hold original ids only at selected
+    positions; deterministic; padded to batch max with attention 0."""
+    import pyarrow as pa
+
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.functions.align import (
+        IGNORE_ID,
+        MASK_ID,
+        mlm_mask_batch,
+    )
+
+    t = pa.table({"text": gen_pages_shard(0, 0, 300)["text"]})
+    out = mlm_mask_batch(t)
+    assert out.num_rows == t.num_rows
+    ii = out["input_ids"].to_pylist()
+    am = out["attention_mask"].to_pylist()
+    lb = out["labels"].to_pylist()
+    assert len({len(r) for r in ii}) == 1  # padded to batch max
+    n_tok = sum(sum(a) for a in am)
+    sel = [(i, l) for irow, lrow in zip(ii, lb)
+           for i, l in zip(irow, lrow) if l != IGNORE_ID]
+    frac = len(sel) / n_tok
+    assert 0.12 < frac < 0.18
+    n_mask = sum(1 for i, _ in sel if i == MASK_ID)
+    n_same = sum(1 for i, l in sel if i == l)
+    assert 0.72 < n_mask / len(sel) < 0.88
+    assert 0.05 < n_same / len(sel) < 0.15
+    # padding positions carry no label and no attention
+    for irow, arow, lrow in zip(ii, am, lb):
+        for a, l in zip(arow, lrow):
+            if a == 0:
+                assert l == IGNORE_ID
+    assert out.equals(mlm_mask_batch(t))  # pure function of (text, pos, seed)
+    # truncation at max_length
+    long = pa.table({"text": pa.array([" ".join(["w"] * 700)], pa.string())})
+    assert sum(mlm_mask_batch(long, max_length=512)["attention_mask"][0].as_py()) == 512
