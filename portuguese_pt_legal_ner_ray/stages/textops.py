@@ -100,29 +100,53 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _sign_pack(acc: np.ndarray) -> np.ndarray:
+    """[docs, 64] bit-balance matrix -> packed uint64 simhash per doc."""
+    return ((acc > 0).astype(np.uint64) << _SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(tokens: list[str]) -> int:
-    """Classic 64-bit simhash over token hashes (md5-stable)."""
+    """Classic 64-bit simhash over token hashes (process-stable polynomial
+    hash shared with the shuffle layer). Scalar reference used by tests;
+    the batch path below is the vectorized equivalent."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for t in tokens:
-        h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    from .shuffle import hash_strings
+
+    h = hash_strings(pa.array(tokens, pa.string()))
+    bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    return int(_sign_pack(acc[None, :])[0])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = pc.utf8_lower(batch[text_col]).to_pylist()
+    """Whole-batch simhash: one Arrow whitespace split + ONE vectorized hash
+    pass over every token in the batch + a segmented bit-balance reduce —
+    no per-document (let alone per-token) Python in the loop."""
+    from .shuffle import hash_strings
+
+    n_docs = len(batch)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(batch[text_col])).combine_chunks()
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)  # split artifacts
+    h = hash_strings(flat)[keep]
+    parents = parents[keep]
+    bits = (((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
+    counts = np.bincount(parents, minlength=n_docs)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # sentinel row so empty-doc segments reduce in-bounds, then masked to 0
+    bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int64)])
+    acc = np.add.reduceat(bits, starts, axis=0)
+    sh = _sign_pack(acc)
+    sh[counts == 0] = 0
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pa.array([simhash64(t.split()) for t in texts], pa.uint64()),
+            "simhash": pa.array(sh, pa.uint64()),
         }
     )
