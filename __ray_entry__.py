@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def rel_parts_per_brand(sf_dir: str):
         return relational.parts_per_brand(sf_dir)
 
+    def rel_lineitems_per_supplier_nation(sf_dir: str):
+        return relational.lineitems_per_supplier_nation(sf_dir)
+
     def docs_longest_per_lang(sf_dir: str):
         return relational.longest_doc_per_lang(sf_dir)
 
@@ -431,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": rel_top_orders,
         "rel_lineitem_summary": rel_lineitem_summary,
         "rel_parts_per_brand": rel_parts_per_brand,
+        "rel_lineitems_per_supplier_nation": rel_lineitems_per_supplier_nation,
         "docs_longest_per_lang": docs_longest_per_lang,
         "docs_hash_split": docs_hash_split,
         "events_sliding_hour": events_sliding_hour,
@@ -623,6 +627,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.p_brand, count(*) AS n_lineitems
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand""",
+        "rel_lineitems_per_supplier_nation": """
+            SELECT n.n_name, count(*) AS n_lineitems
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
         "docs_longest_per_lang": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, length(text) AS n_chars,

@@ -131,6 +131,37 @@ def parts_per_brand(sf_dir: str) -> Dataset:
                          ["p_brand"], alias="n_lineitems")
 
 
+def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
+    """lineitem → per-supplier combiner count → supplier+nation broadcast
+    lookups (two chained ``BroadcastLookup`` stages) → per-nation count.
+
+    The fact-side shuffle moves one row per supplier, not per lineitem;
+    both dimension tables ride the object store once.
+    """
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    per_supp = grouped_count(li, ["l_suppkey"], alias="n")
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    from .joins import BroadcastLookup, put_broadcast
+
+    nk_ref = put_broadcast(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    name_ref = put_broadcast(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    from .shuffle import grouped_agg
+
+    keyed = per_supp.map_batches(
+        BroadcastLookup, batch_format="pandas", concurrency=(1, 2),
+        fn_constructor_kwargs=dict(mapping_ref=nk_ref, key_col="l_suppkey",
+                                   out_col="nationkey"),
+    ).map_batches(
+        BroadcastLookup, batch_format="pandas", concurrency=(1, 2),
+        fn_constructor_kwargs=dict(mapping_ref=name_ref, key_col="nationkey",
+                                   out_col="n_name"),
+    )
+    return grouped_agg(keyed, ["n_name"], {"n_lineitems": ("n", "sum")},
+                       pre_aggregated=True)
+
+
 def top_orders(sf_dir: str, k: int = 10) -> Dataset:
     """Global top-k by totalprice, orderkey tiebreak (sort + limit)."""
     return (
