@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from portuguese_pt_legal_ner_ray.oracle import ensure_goldens
     from portuguese_pt_legal_ner_ray.sources.multimodal import ensure_media_table
     from portuguese_pt_legal_ner_ray.stages.textops import (
@@ -458,8 +460,11 @@ def oracle_sql() -> dict[str, str]:
         stopword_regex,
     )
 
-    ensure_goldens(0.01)  # goldens are the independent single-process oracle
-    p = _corpus_paths(0.01)
+    # the driver contract compares at sf0.01; KGRAY_ORACLE_SF lets
+    # scripts/driver_sim.py validate the kg oracles at other scales too
+    sf = float(os.environ.get("KGRAY_ORACLE_SF", "0.01"))
+    ensure_goldens(sf)  # goldens are the independent single-process oracle
+    p = _corpus_paths(sf)
     media = ensure_media_table(500)
 
     langs = sorted(STOPWORDS)

@@ -80,28 +80,37 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
 
     import numpy as np
 
+    from .shuffle import hash_strings
+
     def fp(batch: pa.Table) -> pa.Table:
+        fps = pa.array(
+            [hashlib.md5(t.encode()).hexdigest()
+             for t in batch[text_col].to_pylist()],
+            pa.string(),
+        )
+        # route by fingerprint hash so the keep-first runs once per BUCKET
+        # (vectorized sort + drop_duplicates), not once per distinct text
+        bucket = (hash_strings(fps) % np.uint64(64)).astype(np.int64)
         return pa.table(
             {
-                "fingerprint": pa.array(
-                    [hashlib.md5(t.encode()).hexdigest()
-                     for t in batch[text_col].to_pylist()],
-                    pa.string(),
-                ),
+                "fingerprint": fps,
                 id_col: batch[id_col],
                 text_col: batch[text_col],
+                "__bucket": pa.array(bucket, pa.int64()),
             }
         )
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        i = int(np.argmin(g[id_col].to_numpy(zero_copy_only=False)))
-        return g.slice(i, 1).select([id_col, text_col])
+    def keep_first(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["fingerprint", id_col], kind="stable")
+        return g.drop_duplicates("fingerprint")[[id_col, text_col]]
+
+    import pandas as pd  # noqa: F401 - batch_format="pandas" below
 
     return (
         docs.select_columns([id_col, text_col])
         .map_batches(fp, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(keep_first, batch_format="pandas")
     )
 
 

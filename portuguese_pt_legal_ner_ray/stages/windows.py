@@ -99,14 +99,34 @@ def sliding_window(events: Dataset, size_minutes: int = 60,
 def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
     """Gap-based sessions: (user_id, session_idx, n_events, session_start,
     session_end). A new session starts when the time since the previous
-    event of the same user exceeds ``gap_minutes``."""
+    event of the same user exceeds ``gap_minutes``.
+
+    The shuffle routes users by ``hash(user_id) % buckets`` and each bucket
+    sessionizes ALL its users with vectorized pandas (one sort + per-user
+    diff + cumsum + one grouped agg) — one UDF call per bucket, never one
+    per user (a per-user ``map_groups`` costs a Python call per user id,
+    ruinous at web-scale user counts).
+    """
+    import numpy as np
+
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > gap).cumsum()
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .shuffle import hash_strings
+
+        b = (hash_strings(pc.cast(t["user_id"], pa.string()))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(b, pa.int64())
+        ).replace_schema_metadata(None)  # parquet pandas-metadata is unhashable
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_sess = (g["ts"].diff() > gap) | new_user
+        sess_id = new_sess.cumsum()  # strictly increasing across users
         out = (
-            g.groupby(new_session)
+            g.groupby(sess_id, sort=False)
             .agg(
                 user_id=("user_id", "first"),
                 n_events=("event_id", "size"),
@@ -115,13 +135,13 @@ def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
             )
             .reset_index(drop=True)
         )
-        out["session_idx"] = range(len(out))
+        # session_idx restarts per user; groups are already in time order
+        out["session_idx"] = out.groupby("user_id", sort=False).cumcount()
         return out[["user_id", "session_idx", "n_events", "session_start", "session_end"]]
 
-    from .shuffle import strip_schema_metadata
-
     return (
-        strip_schema_metadata(events.select_columns(["user_id", "event_id", "ts"]))
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        events.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )

@@ -54,17 +54,29 @@ def main():
 
     import __ray_entry__ as e
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
+    args, skip = [], False
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if skip:
+            skip = False
+            continue
         if a == "--sf-dir":
             sf_dir = sys.argv[i + 1]
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
 
     t0 = time.time()
     res = e.entry()
     n = res.count() if hasattr(res, "count") else len(res)
     print(f"entry(): {n} rows, schema={res.schema()}, {time.time()-t0:.1f}s")
 
+    import os
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    if m:
+        os.environ["KGRAY_ORACLE_SF"] = m.group(1)
     qs = e.queries()
     oracles = e.oracle_sql()
     con = duckdb.connect()
