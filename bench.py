@@ -90,10 +90,16 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
         q = {}
     if q:
         timed("dedup_exact_docs", lambda: q["dedup_exact_docs"](sf_dir).count())
+        timed("dedup_apply_docs", lambda: q["dedup_apply_docs"](sf_dir).count())
         timed("doc_token_counts", lambda: q["doc_token_counts"](sf_dir).count())
         timed("doc_langid", lambda: q["doc_langid"](sf_dir).count())
+        timed("doc_simhash", lambda: q["doc_simhash"](sf_dir).count())
         timed("ann_cosine_topk", lambda: q["ann_cosine_topk"](sf_dir).count())
         timed("near_dup_minhash", lambda: q["near_dup_minhash"](sf_dir).count())
+        timed("near_dup_embedding_ivf",
+              lambda: q["near_dup_embedding_ivf"](sf_dir).count())
+        timed("events_heavy_hitters", lambda: q["events_heavy_hitters"](sf_dir))
+        timed("orders_price_quantiles", lambda: q["orders_price_quantiles"](sf_dir))
         timed("events_tumbling_hour", lambda: q["events_tumbling_hour"](sf_dir).count())
         timed("events_sessionize", lambda: q["events_sessionize"](sf_dir).count())
 
