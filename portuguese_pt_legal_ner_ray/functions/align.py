@@ -114,10 +114,14 @@ def mlm_mask_batch(batch, text_col: str = "text", mask_prob: float = 0.15,
     for text in texts:
         words = [text[s:e] for s, e in tokenize_with_offsets(text)[:max_length]]
         ids = [_word_id(w) for w in words]
+        # hash the document once; per-position draws reuse the digest so the
+        # masking stays a pure function of (text, position, seed) at
+        # O(n_tokens) instead of O(n_tokens x len(text)) hashed bytes
+        tdig = hashlib.md5(f"{seed}|{text}".encode()).hexdigest()
         inp, labels = [], []
         for pos, tid in enumerate(ids):
             d = int.from_bytes(
-                hashlib.md5(f"{seed}|{text}|{pos}".encode()).digest()[:8], "big")
+                hashlib.md5(f"{tdig}|{pos}".encode()).digest()[:8], "big")
             draw = (d % 10_000) / 10_000.0
             if draw < mask_prob:
                 labels.append(tid)

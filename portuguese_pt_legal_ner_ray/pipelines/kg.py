@@ -185,31 +185,44 @@ def run_kg_pipeline(
     manifest = Manifest(out_dir)
     plan = _partition_files(input_dir, num_partitions)
     plan_sigs = [_files_sig(files) for files in plan]
-    plan_fp = hashlib.md5(json.dumps(plan_sigs).encode()).hexdigest()
+    # repr of the frozen dataclasses covers every knob incl. nested linking
+    cfg_fp = hashlib.md5(repr(cfg).encode()).hexdigest()
+    plan_fp = hashlib.md5(json.dumps([plan_sigs, cfg_fp]).encode()).hexdigest()
     done_parts = 0
     ran_any = False
     for i, files in enumerate(plan):
         part = f"{i:05d}"
         rec = manifest.read("extract", part)
-        if rec is not None and rec.get("input_sig") == plan_sigs[i]:
+        if (rec is not None and rec.get("input_sig") == plan_sigs[i]
+                and rec.get("cfg_fp") == cfg_fp):
             continue
         if fail_after_partitions is not None and done_parts >= fail_after_partitions:
             raise RuntimeError("injected failure for resume test")
         meta = extract_partition(files, out_dir, part, cfg)
-        manifest.mark_done("extract", part, **meta)
+        manifest.mark_done("extract", part, cfg_fp=cfg_fp, **meta)
         done_parts += 1
         ran_any = True
     # drop partitions a previous (wider) plan produced that this plan no
-    # longer owns — graph_stage reads the whole extraction dir
-    for p in sorted(manifest.dir.glob("extract__*.json")):
-        idx = int(p.stem.split("__", 1)[1])
-        if idx >= len(plan):
-            p.unlink()
-            for sub in ("extracted", "extraction"):
-                stale = out_dir / sub / f"part={idx:05d}"
-                if stale.exists():
-                    shutil.rmtree(stale)
-            ran_any = True
+    # longer owns — graph_stage reads the whole extraction dir. Scan the
+    # actual output dirs, not just manifest rows: a crashed run can leave an
+    # orphan part dir whose manifest row was never written.
+    stale_idx: set[int] = set()
+    for p in manifest.dir.glob("extract__*.json"):
+        stale_idx.add(int(p.stem.split("__", 1)[1]))
+    for sub in ("extracted", "extraction"):
+        for d in (out_dir / sub).glob("part=*"):
+            stale_idx.add(int(d.name.split("=", 1)[1]))
+    for idx in sorted(stale_idx):
+        if idx < len(plan):
+            continue
+        mrow = manifest.dir / f"extract__{idx:05d}.json"
+        if mrow.exists():
+            mrow.unlink()
+        for sub in ("extracted", "extraction"):
+            stale = out_dir / sub / f"part={idx:05d}"
+            if stale.exists():
+                shutil.rmtree(stale)
+        ran_any = True
     grec = manifest.read("graph", "all")
     if ran_any or grec is None or grec.get("plan_fp") != plan_fp:
         meta = graph_stage(out_dir, cfg, force_distributed_cc)

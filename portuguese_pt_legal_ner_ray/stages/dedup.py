@@ -114,8 +114,11 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-# per-worker-process shingle memo for the LSH verify stage, keyed by shingle_k
-_VERIFY_SHINGLES: dict[int, dict[int, set[int]]] = {}
+# per-worker-process shingle memo for the LSH verify stage, keyed by
+# shingle_k then by the TEXT itself (doc ids are not unique across corpora
+# sharing a warm worker, and a stale id->shingles hit would silently verify
+# against the wrong document)
+_VERIFY_SHINGLES: dict[int, dict[str, set[int]]] = {}
 
 
 class MinhashBandStage:
@@ -235,19 +238,18 @@ def minhash_lsh_pairs(
         # pair; the module-global cache is bounded (cleared at 50k entries)
         cache = _VERIFY_SHINGLES.setdefault(cfg.shingle_k, {})
 
-        def sh(doc_id: int, text: str) -> set[int]:
-            s = cache.get(doc_id)
+        def sh(text: str) -> set[int]:
+            s = cache.get(text)
             if s is None:
                 if len(cache) > 50_000:
                     cache.clear()
-                s = cache[doc_id] = shingles(text.lower(), cfg.shingle_k)
+                s = cache[text] = shingles(text.lower(), cfg.shingle_k)
             return s
 
         keep = [
-            jaccard(sh(ia, ta), sh(ib, tb)) >= threshold
-            for ia, ta, ib, tb in zip(
-                batch["id_a"].to_pylist(), batch["text_a"].to_pylist(),
-                batch["id_b"].to_pylist(), batch["text_b"].to_pylist())
+            jaccard(sh(ta), sh(tb)) >= threshold
+            for ta, tb in zip(batch["text_a"].to_pylist(),
+                              batch["text_b"].to_pylist())
         ]
         return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 

@@ -32,16 +32,30 @@ class BroadcastLookup:
 
     def __init__(self, mapping_ref, key_col: str, out_col: str, default=None):
         self.mapping = ray.get(mapping_ref)
+        if any(v is None for v in self.mapping.values()):
+            raise ValueError("BroadcastLookup mapping values must be non-null "
+                             "(None is indistinguishable from a missing key)")
+        # integral mapping values: restore the int dtype that pandas' NaN
+        # round-trip would otherwise silently promote to float64
+        self._int_values = all(
+            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+            for v in self.mapping.values()
+        )
         self.key_col = key_col
         self.out_col = out_col
         self.default = default
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mapped = batch[self.key_col].map(self.mapping)  # vectorized dict lookup
-        if self.default is None:  # identity fallback for non-remapped keys
-            mapped = mapped.fillna(batch[self.key_col])
-        else:
-            mapped = mapped.fillna(self.default)
+        keys = batch[self.key_col]
+        mapped = keys.map(self.mapping)  # vectorized dict lookup
+        miss = mapped.isna()
+        if miss.any():
+            fallback = keys if self.default is None else self.default
+            mapped = mapped.where(~miss, fallback)
+            int_fallback = (self.default is None and pd.api.types.is_integer_dtype(keys)
+                            ) or isinstance(self.default, (int, np.integer))
+            if self._int_values and int_fallback:
+                mapped = mapped.astype(np.int64)  # undo the NaN float64 promote
         batch[self.out_col] = mapped
         return batch
 

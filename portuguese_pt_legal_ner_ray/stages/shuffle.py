@@ -53,8 +53,11 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    # offsets are int32 for string, int64 for large_string (which pyarrow
+    # promotes to on >2GB string data — exactly the sizes this layer serves)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
     offsets = offsets.astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     lengths = np.diff(offsets)

@@ -52,8 +52,11 @@ class _PartialTopK:
         for qi in range(sims.shape[0]):
             # tie-break by ascending vec_id INSIDE the partial: truncation on
             # sim alone could drop the smallest-id candidate of a tie group
-            # at the cutoff, breaking the deterministic-tie contract
-            top = np.lexsort((ids, -sims[qi]))[:k]
+            # at the cutoff. argpartition finds the top-k cutoff in O(B);
+            # only rows >= the cutoff sim (top-k plus its ties) are sorted.
+            part = np.argpartition(-sims[qi], k - 1)[:k]
+            cand = np.where(sims[qi] >= sims[qi][part].min())[0]
+            top = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:k]
             for ci in top:
                 q_out.append(self.q_ids[qi])
                 id_out.append(ids[ci])

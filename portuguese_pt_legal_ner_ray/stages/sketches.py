@@ -104,16 +104,17 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
         cand = vc.nlargest(4 * k).index.tolist()
         n = max(len(cand), 1)
         return pa.table({
-            "cms": pa.array([cms.tobytes()] + [b""] * (n - 1), pa.binary()),
-            "cand": pa.array((cand + [""] * (n - len(cand)))[:n], pa.string()),
+            "cms": pa.array([cms.tobytes()] + [None] * (n - 1), pa.binary()),
+            "cand": pa.array((cand + [None] * (n - len(cand)))[:n], pa.string()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     merged = np.zeros((depth, width), dtype=np.uint64)
     for blob in parts["cms"]:
-        if blob:
+        if blob is not None:
             merged += np.frombuffer(blob, dtype=np.uint64).reshape(depth, width)
-    cands = sorted({c for c in parts["cand"] if c})
+    # null = padding; "" is a legitimate candidate value
+    cands = sorted({c for c in parts["cand"] if c is not None})
     if not cands:
         return pd.DataFrame({col: [], "n": []})
     h = hash_strings(pa.array(cands, pa.string()))
@@ -145,9 +146,11 @@ def histogram_quantiles(ds: Dataset, col: str, qs: list[float]) -> "pd.DataFrame
     from .shuffle import grouped_count
 
     hist = grouped_count(ds.select_columns([col]), [col], alias="n").to_pandas()
+    if hist.empty:
+        return pd.DataFrame([{"q": q, "value": float("nan")} for q in qs])
     hist = hist.sort_values(col).reset_index(drop=True)
     cum = hist["n"].cumsum()
-    total = int(cum.iloc[-1]) if len(cum) else 0
+    total = int(cum.iloc[-1])
     out = []
     for q in qs:
         rank = max(1, math.ceil(q * total))  # 1-indexed target rank

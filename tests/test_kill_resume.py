@@ -103,3 +103,22 @@ def test_resume_invalidates_on_changed_inputs(ray_session, tmp_path):
     got = got.select(cols).sort_by([(c, "ascending") for c in cols])
     want = golden["spans"].select(cols).sort_by([(c, "ascending") for c in cols])
     assert got.equals(want.cast(got.schema))
+
+
+def test_orphan_partition_dir_removed(ray_session, tmp_path):
+    """A partition dir with NO manifest row (crashed mid-write under a wider
+    plan) must still be swept when the plan shrinks below its index."""
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.pipelines.kg import run_kg_pipeline
+
+    inp = tmp_path / "webpages"
+    inp.mkdir()
+    for s in range(2):
+        pq.write_table(gen_pages_shard(s, s * 20, 20), inp / f"part-{s:05d}.parquet")
+    out = tmp_path / "out"
+    orphan = out / "extraction" / "part=00007"
+    orphan.mkdir(parents=True)
+    pq.write_table(gen_pages_shard(9, 0, 5), orphan / "junk.parquet")
+
+    run_kg_pipeline(inp, out, num_partitions=2)
+    assert not orphan.exists()
