@@ -383,6 +383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sliding_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
+    def events_asof_purchase(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.stages.windows import asof_last_event
+
+        return asof_last_event(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
     def media_resize(sf_dir: str):
         from portuguese_pt_legal_ner_ray.sources.multimodal import resize_metadata
 
@@ -438,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_longest_per_lang": docs_longest_per_lang,
         "docs_hash_split": docs_hash_split,
         "events_sliding_hour": events_sliding_hour,
+        "events_asof_purchase": events_asof_purchase,
         "media_resize": media_resize,
     }
 
@@ -655,6 +661,16 @@ def oracle_sql() -> dict[str, str]:
                        FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
             SELECT window_start, event_type, count(*) AS n_events
             FROM x GROUP BY 1, 2""",
+        "events_asof_purchase": """
+            WITH w AS (
+              SELECT event_id, user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS asof_ts
+              FROM events)
+            SELECT event_id, user_id, ts, asof_ts FROM w
+            WHERE event_type = 'click'""",
         "media_resize": f"""
             WITH d AS (SELECT doc_id,
                               64 + doc_id % 1216 AS w, 64 + doc_id % 656 AS h

@@ -145,3 +145,46 @@ def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def asof_last_event(events: Dataset, match_type: str = "click",
+                    of_type: str = "purchase") -> Dataset:
+    """As-of join (self-join form): each ``match_type`` event is paired with
+    the most recent ``of_type`` event of the SAME user at-or-before its
+    timestamp -> (event_id, user_id, ts, asof_ts nullable).
+
+    Ray Data has no native as-of join; the composition is the partitioned
+    sorted-merge pattern: route users by hash (same bucketing as
+    ``sessionize``), sort each bucket once by (user, ts, event_id), compute
+    the running last-``of_type`` timestamp with a vectorized forward fill,
+    and emit the ``match_type`` rows. One UDF call per bucket; the
+    partitioning assumption is one user's events fit a worker (salt users
+    if a single user's history outgrows that).
+    """
+    import numpy as np
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .shuffle import hash_strings
+
+        b = (hash_strings(pc.cast(t["user_id"], pa.string()))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(b, pa.int64())
+        ).replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        of_ts = g["ts"].where(g["event_type"] == of_type)
+        # forward-fill within each user: the as-of candidate timestamp
+        asof = of_ts.groupby(g["user_id"], sort=False).ffill()
+        out = g.loc[g["event_type"] == match_type,
+                    ["event_id", "user_id", "ts"]].copy()
+        out["asof_ts"] = asof[g["event_type"] == match_type]
+        return out
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -247,3 +247,34 @@ def test_multimodal_decode(ray_session, tmp_path):
     assert (out["decode_ok"]).all()
     assert (out["width"] == 64 + out["doc_id"] % 1216).all()
     assert (out["height"] == 64 + out["doc_id"] % 656).all()
+
+
+def test_asof_last_event(ray_session):
+    import pandas as pd
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.windows import asof_last_event
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00",  # u1 purchase
+        "2024-01-01 10:05",  # u1 click  -> asof 10:00
+        "2024-01-01 10:10",  # u1 purchase
+        "2024-01-01 10:20",  # u1 click  -> asof 10:10
+        "2024-01-01 09:00",  # u2 click  -> no prior purchase (null)
+        "2024-01-01 09:30",  # u2 purchase
+        "2024-01-01 09:45",  # u2 click  -> asof 09:30
+    ])
+    events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(
+            ["purchase", "click", "purchase", "click", "click", "purchase", "click"],
+            pa.string()),
+    }))
+    out = asof_last_event(events).to_pandas().sort_values("event_id")
+    got = dict(zip(out["event_id"], out["asof_ts"]))
+    assert got[1] == pd.Timestamp("2024-01-01 10:00")
+    assert got[3] == pd.Timestamp("2024-01-01 10:10")
+    assert pd.isna(got[4])
+    assert got[6] == pd.Timestamp("2024-01-01 09:30")
