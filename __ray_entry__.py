@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def rel_lineitems_per_supplier_nation(sf_dir: str):
         return relational.lineitems_per_supplier_nation(sf_dir)
 
+    def rel_top_parts_per_brand(sf_dir: str):
+        return relational.top_parts_per_brand(sf_dir)
+
     def docs_longest_per_lang(sf_dir: str):
         return relational.longest_doc_per_lang(sf_dir)
 
@@ -440,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lineitem_summary": rel_lineitem_summary,
         "rel_parts_per_brand": rel_parts_per_brand,
         "rel_lineitems_per_supplier_nation": rel_lineitems_per_supplier_nation,
+        "rel_top_parts_per_brand": rel_top_parts_per_brand,
         "docs_longest_per_lang": docs_longest_per_lang,
         "docs_hash_split": docs_hash_split,
         "events_sliding_hour": events_sliding_hour,
@@ -638,6 +642,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.p_brand, count(*) AS n_lineitems
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand""",
+        "rel_top_parts_per_brand": """
+            SELECT p_brand, p_retailprice, p_partkey FROM (
+              SELECT p_brand, p_retailprice, p_partkey,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rk
+              FROM part) WHERE rk <= 3""",
         "rel_lineitems_per_supplier_nation": """
             SELECT n.n_name, count(*) AS n_lineitems
             FROM lineitem l

@@ -215,3 +215,56 @@ def hash_split(docs: Dataset, bucket: int = 0, out_of: int = 8,
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return docs.map_batches(filt, batch_format="pyarrow")
+
+
+def grouped_topk(ds: Dataset, group_cols: list[str], sort_col: str,
+                 id_col: str, k: int = 3, descending: bool = True,
+                 num_buckets: int = 64) -> Dataset:
+    """Per-group top-k via the combiner pattern — the scale path for
+    high-cardinality groups.
+
+    Each batch keeps its own top-k per group (a combiner: the shuffle moves
+    at most k rows per (batch, group), never whole groups); groups then
+    route by hash and ONE vectorized pandas pass per bucket takes the final
+    top-k. Ties break on ascending ``id_col``, so output is deterministic
+    at any parallelism. Contrast ``longest_doc_per_lang``'s per-group
+    ``map_groups`` (fine for a handful of groups, one Python call per group
+    otherwise).
+    """
+    from .shuffle import hash_strings
+
+    asc = [not descending] + [True]
+    by = [sort_col, id_col]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="stable")
+        return df.groupby(group_cols, sort=False).head(k)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            *[pc.cast(t[c], pa.string()) for c in group_cols], "\x1f"
+        )
+        b = (hash_strings(joined) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(b, pa.int64())
+        ).replace_schema_metadata(None)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return local_topk(df).drop(columns="__bucket")
+
+    cols = [*group_cols, sort_col, id_col]
+    return (
+        ds.select_columns(cols)
+        .map_batches(lambda df: local_topk(df), batch_format="pandas", batch_size=None)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k parts by retail price per brand (grouped top-k combiner)."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_partkey"]
+    )
+    return grouped_topk(part, ["p_brand"], "p_retailprice", "p_partkey", k=k)

@@ -182,3 +182,31 @@ def test_histogram_quantiles_matches_duckdb(ray_session):
     for _, r in got.iterrows():
         want = con.execute(f"SELECT quantile_disc(v, {r.q}) FROM t").fetchone()[0]
         assert abs(want - r.value) < 1e-9
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    """Combiner-based per-group top-k == pandas reference, deterministic
+    tie-break, identical at any parallelism."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.relational import grouped_topk
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "g": [f"g{int(x)}" for x in rng.integers(0, 40, 2000)],
+        "v": rng.integers(0, 50, 2000).astype(float),  # many ties
+        "id": range(2000),
+    })
+    want = (df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+            .groupby("g", sort=False).head(3)
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True))
+    for parts in (2, 11):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        got = (grouped_topk(ds, ["g"], "v", "id", k=3).to_pandas()
+               .sort_values(["g", "v", "id"], ascending=[True, False, True])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["g", "v", "id"]], want)
