@@ -185,8 +185,12 @@ def run_kg_pipeline(
     manifest = Manifest(out_dir)
     plan = _partition_files(input_dir, num_partitions)
     plan_sigs = [_files_sig(files) for files in plan]
-    # repr of the frozen dataclasses covers every knob incl. nested linking
-    cfg_fp = hashlib.md5(repr(cfg).encode()).hexdigest()
+    # fingerprint ONLY output-affecting config (threshold, linking rules,
+    # tagger choice): perf knobs (batch size, pool sizing) produce identical
+    # outputs by construction and must not invalidate finished partitions
+    cfg_fp = hashlib.md5(
+        repr((cfg.confidence_threshold, cfg.linking, cfg.tagger)).encode()
+    ).hexdigest()
     plan_fp = hashlib.md5(json.dumps([plan_sigs, cfg_fp]).encode()).hexdigest()
     done_parts = 0
     ran_any = False
@@ -206,12 +210,18 @@ def run_kg_pipeline(
     # longer owns — graph_stage reads the whole extraction dir. Scan the
     # actual output dirs, not just manifest rows: a crashed run can leave an
     # orphan part dir whose manifest row was never written.
+    import re as _re
+
     stale_idx: set[int] = set()
     for p in manifest.dir.glob("extract__*.json"):
-        stale_idx.add(int(p.stem.split("__", 1)[1]))
+        m = _re.fullmatch(r"extract__(\d+)", p.stem)
+        if m:
+            stale_idx.add(int(m.group(1)))
     for sub in ("extracted", "extraction"):
         for d in (out_dir / sub).glob("part=*"):
-            stale_idx.add(int(d.name.split("=", 1)[1]))
+            m = _re.fullmatch(r"part=(\d+)", d.name)
+            if m:  # foreign/partial dir names are left alone, never parsed
+                stale_idx.add(int(m.group(1)))
     for idx in sorted(stale_idx):
         if idx < len(plan):
             continue

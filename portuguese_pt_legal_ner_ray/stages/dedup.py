@@ -78,9 +78,7 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     """
     import hashlib
 
-    import numpy as np
-
-    from .shuffle import hash_strings
+    from .shuffle import bucket_by
 
     def fp(batch: pa.Table) -> pa.Table:
         fps = pa.array(
@@ -90,15 +88,9 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
         )
         # route by fingerprint hash so the keep-first runs once per BUCKET
         # (vectorized sort + drop_duplicates), not once per distinct text
-        bucket = (hash_strings(fps) % np.uint64(64)).astype(np.int64)
-        return pa.table(
-            {
-                "fingerprint": fps,
-                id_col: batch[id_col],
-                text_col: batch[text_col],
-                "__bucket": pa.array(bucket, pa.int64()),
-            }
-        )
+        t = pa.table({"fingerprint": fps, id_col: batch[id_col],
+                      text_col: batch[text_col]})
+        return bucket_by(t, ["fingerprint"])
 
     def keep_first(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["fingerprint", id_col], kind="stable")
@@ -115,10 +107,10 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # per-worker-process shingle memo for the LSH verify stage, keyed by
-# shingle_k then by the TEXT itself (doc ids are not unique across corpora
-# sharing a warm worker, and a stale id->shingles hit would silently verify
-# against the wrong document)
-_VERIFY_SHINGLES: dict[int, dict[str, set[int]]] = {}
+# shingle_k then by the md5 digest of the text (content-addressed: doc ids
+# are not unique across corpora sharing a warm worker, and caching the full
+# text would hold ~50k documents of raw text per worker)
+_VERIFY_SHINGLES: dict[int, dict[bytes, set[int]]] = {}
 
 
 class MinhashBandStage:
@@ -163,9 +155,7 @@ def minhash_lsh_pairs(
     the corpus); nothing is materialized on the driver and no whole-corpus
     broadcast is made. When None, pairs are returned unverified.
     """
-    import numpy as np
-
-    from .shuffle import grouped_count, hash_strings
+    from .shuffle import bucket_by, grouped_count
 
     cfg = cfg or LinkingConfig(num_hashes=32, num_bands=8, shingle_k=5)
     # task mode (warm workers), not an actor pool: the hasher state is a
@@ -173,8 +163,7 @@ def minhash_lsh_pairs(
     stage = MinhashBandStage(cfg=cfg, text_col=text_col)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = (hash_strings(t["band"]) % np.uint64(64)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b, pa.int64()))
+        return bucket_by(t, ["band"])
 
     # route whole LSH bands by band-hash so pair generation runs once per
     # BUCKET (64 UDF calls) instead of once per band (one Python call per
@@ -238,12 +227,15 @@ def minhash_lsh_pairs(
         # pair; the module-global cache is bounded (cleared at 50k entries)
         cache = _VERIFY_SHINGLES.setdefault(cfg.shingle_k, {})
 
+        import hashlib
+
         def sh(text: str) -> set[int]:
-            s = cache.get(text)
+            key = hashlib.md5(text.encode()).digest()
+            s = cache.get(key)
             if s is None:
                 if len(cache) > 50_000:
                     cache.clear()
-                s = cache[text] = shingles(text.lower(), cfg.shingle_k)
+                s = cache[key] = shingles(text.lower(), cfg.shingle_k)
             return s
 
         keep = [

@@ -35,27 +35,38 @@ class BroadcastLookup:
         if any(v is None for v in self.mapping.values()):
             raise ValueError("BroadcastLookup mapping values must be non-null "
                              "(None is indistinguishable from a missing key)")
-        # integral mapping values: restore the int dtype that pandas' NaN
-        # round-trip would otherwise silently promote to float64
-        self._int_values = all(
-            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
-            for v in self.mapping.values()
-        )
         self.key_col = key_col
         self.out_col = out_col
         self.default = default
 
+        def _is_int(x) -> bool:
+            return isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+
+        # all-int mapping: precompute sorted key/value arrays so lookups run
+        # as exact int64 searchsorted — Series.map would round-trip found
+        # values through float64 (NaN promote), silently corrupting
+        # integers above 2^53 (hash/fingerprint ids)
+        self._k_arr = self._v_arr = None
+        if (self.mapping and (default is None or _is_int(default))
+                and all(_is_int(k) for k in self.mapping)
+                and all(_is_int(v) for v in self.mapping.values())):
+            items = sorted(self.mapping.items())
+            self._k_arr = np.array([k for k, _ in items], dtype=np.int64)
+            self._v_arr = np.array([v for _, v in items], dtype=np.int64)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[self.key_col]
-        mapped = keys.map(self.mapping)  # vectorized dict lookup
+        if self._k_arr is not None and pd.api.types.is_integer_dtype(keys):
+            kn = keys.to_numpy(dtype=np.int64)
+            idx = np.clip(np.searchsorted(self._k_arr, kn), 0, len(self._k_arr) - 1)
+            hit = self._k_arr[idx] == kn
+            fb = kn if self.default is None else np.int64(self.default)
+            batch[self.out_col] = np.where(hit, self._v_arr[idx], fb)
+            return batch
+        mapped = keys.map(self.mapping)  # vectorized dict lookup (object values)
         miss = mapped.isna()
         if miss.any():
-            fallback = keys if self.default is None else self.default
-            mapped = mapped.where(~miss, fallback)
-            int_fallback = (self.default is None and pd.api.types.is_integer_dtype(keys)
-                            ) or isinstance(self.default, (int, np.integer))
-            if self._int_values and int_fallback:
-                mapped = mapped.astype(np.int64)  # undo the NaN float64 promote
+            mapped = mapped.where(~miss, keys if self.default is None else self.default)
         batch[self.out_col] = mapped
         return batch
 

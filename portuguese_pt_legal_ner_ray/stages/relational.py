@@ -231,23 +231,19 @@ def grouped_topk(ds: Dataset, group_cols: list[str], sort_col: str,
     ``map_groups`` (fine for a handful of groups, one Python call per group
     otherwise).
     """
-    from .shuffle import hash_strings
+    from .shuffle import bucket_by
 
     asc = [not descending] + [True]
     by = [sort_col, id_col]
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by, ascending=asc, kind="stable")
-        return df.groupby(group_cols, sort=False).head(k)
+        # dropna=False: a null group key is a group, matching the SQL
+        # row_number() PARTITION BY semantics of the oracle
+        return df.groupby(group_cols, sort=False, dropna=False).head(k)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        joined = pc.binary_join_element_wise(
-            *[pc.cast(t[c], pa.string()) for c in group_cols], "\x1f"
-        )
-        b = (hash_strings(joined) % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column(
-            "__bucket", pa.array(b, pa.int64())
-        ).replace_schema_metadata(None)
+        return bucket_by(t, group_cols, num_buckets)
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         return local_topk(df).drop(columns="__bucket")

@@ -80,12 +80,25 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return h
 
 
-def _bucket_col(tbl: pa.Table, cols: list[str], num_buckets: int) -> pa.Table:
+def bucket_by(tbl: pa.Table, cols: list[str], num_buckets: int = 64) -> pa.Table:
+    """Append a ``__bucket`` int column = hash(joined key cols) % buckets.
+
+    THE key-routing kernel shared by every bucket-level stage (grouped_*
+    combiners, hash_join, LSH pair-gen, sessionize/as-of, grouped_topk) —
+    one definition so separator / hash / dtype can never desynchronize.
+    Also strips schema metadata (parquet pandas-metadata is an unhashable
+    dict on this pyarrow and breaks Ray's block-schema dedup).
+    """
     joined = pc.binary_join_element_wise(
         *[pc.cast(tbl[c], pa.string()) for c in cols], _SEP
     )
     buckets = (hash_strings(joined) % np.uint64(num_buckets)).astype(np.int64)
-    return tbl.append_column("__bucket", pa.array(buckets, pa.int64()))
+    return tbl.append_column(
+        "__bucket", pa.array(buckets, pa.int64())
+    ).replace_schema_metadata(None)
+
+
+_bucket_col = bucket_by  # internal alias used by the grouped_* combiners
 
 
 def _agg_select(g: pa.Table, cols: list[str], agg_names: list[str],

@@ -63,6 +63,9 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
     ties broken by value. Memory is O(depth × width + candidates) per
     worker and on the driver — never O(distinct values).
 
+    NULL values are excluded from counting (SQL's GROUP BY would surface a
+    NULL group; filter upstream if that distinction matters).
+
     Exact-degradation contract (same as ``approx_distinct``): when ``width``
     is much larger than the distinct-value cardinality, no candidate shares
     a slot with another value in ALL ``depth`` rows, every estimate is the
@@ -90,7 +93,10 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
         return (x % np.uint64(width)).astype(np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = pc.cast(batch[col], pa.string())
+        # NULLs are excluded from the count entirely (hash_strings reads the
+        # raw buffer, where a null is indistinguishable from ""; counting
+        # nulls would inflate the empty string's estimate)
+        vals = pc.drop_null(pc.cast(batch[col], pa.string()))
         h = hash_strings(vals.combine_chunks()
                          if isinstance(vals, pa.ChunkedArray) else vals)
         cms = np.zeros((depth, width), dtype=np.uint64)

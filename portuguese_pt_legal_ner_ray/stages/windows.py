@@ -107,18 +107,12 @@ def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
     per user (a per-user ``map_groups`` costs a Python call per user id,
     ruinous at web-scale user counts).
     """
-    import numpy as np
+    from .shuffle import bucket_by
 
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        from .shuffle import hash_strings
-
-        b = (hash_strings(pc.cast(t["user_id"], pa.string()))
-             % np.uint64(64)).astype(np.int64)
-        return t.append_column(
-            "__bucket", pa.array(b, pa.int64())
-        ).replace_schema_metadata(None)  # parquet pandas-metadata is unhashable
+        return bucket_by(t, ["user_id"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -161,16 +155,10 @@ def asof_last_event(events: Dataset, match_type: str = "click",
     partitioning assumption is one user's events fit a worker (salt users
     if a single user's history outgrows that).
     """
-    import numpy as np
+    from .shuffle import bucket_by
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        from .shuffle import hash_strings
-
-        b = (hash_strings(pc.cast(t["user_id"], pa.string()))
-             % np.uint64(64)).astype(np.int64)
-        return t.append_column(
-            "__bucket", pa.array(b, pa.int64())
-        ).replace_schema_metadata(None)
+        return bucket_by(t, ["user_id"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
