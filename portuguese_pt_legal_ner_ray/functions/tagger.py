@@ -64,6 +64,20 @@ def _alt(words: list[str]) -> str:
     return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
 
 
+def prefilter_pattern() -> str:
+    """Cheap vectorized CAN-MATCH gate (strict superset of matchability).
+
+    Every pattern in :func:`build_patterns` requires a digit or ``@``
+    (E-MAIL/CEP/MAT/TEL/DAT/IDP) or a gazetteer word (ORG/PER/LOC/weak
+    surname), so a paragraph matching NONE of these alternatives cannot
+    yield any span. Run as one Arrow ``match_substring_regex`` over the
+    whole batch before the per-paragraph Python tagger — the standard
+    "vectorized gate before the expensive model" shape (cf. the lang gate).
+    """
+    words = [*ORGS, *LOCS, *FIRST_NAMES, *LAST_NAMES]
+    return "[0-9@]|" + "|".join(re.escape(w) for w in words)
+
+
 def build_patterns() -> list[tuple[str, re.Pattern, bool]]:
     """(label, compiled_pattern, weak) in priority order; earlier wins overlaps."""
     per = rf"(?:{_alt(FIRST_NAMES)}) (?:{_alt(LAST_NAMES)})"

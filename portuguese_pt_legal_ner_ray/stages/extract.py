@@ -144,9 +144,19 @@ class NerTripleStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.tagger import prefilter_pattern
+
         texts = batch["para_text"].to_pylist()
         langs = batch["lang"].to_pylist()
-        pt_idx = [i for i, l in enumerate(langs) if l == "pt"]
+        # vectorized can-match gate (one Arrow regex over the whole batch):
+        # a paragraph with no digit/@/gazetteer word cannot yield a span, so
+        # it skips the per-paragraph tagger entirely (same [] result)
+        can = pc.match_substring_regex(
+            batch["para_text"], prefilter_pattern()
+        ).to_pylist()
+        pt_idx = [i for i, l in enumerate(langs) if l == "pt" and can[i]]
         tagged = self._tag_many([texts[i] for i in pt_idx])
         by_row = dict(zip(pt_idx, tagged))
         spans_col: list[list[dict]] = []

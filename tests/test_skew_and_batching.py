@@ -69,7 +69,7 @@ def test_tagger_error_quarantined_not_silent():
             "url": ["u", "u"],
             "lang": ["pt", "pt"],
             "para_idx": pa.array([0, 1], pa.int32()),
-            "para_text": ["João Silva em Lisboa.", "texto BOOM aqui"],
+            "para_text": ["João Silva em Lisboa.", "texto BOOM 123 aqui"],
         }
     )
     out = stage(tbl)

@@ -127,3 +127,32 @@ def test_max_length_truncation_drops_late_spans():
         # no truncation -> the late span IS found (proves the cap is the cause)
     untruncated = RegexGazetteerTagger(max_length=10_000).tag_paragraph(text)
     assert len(untruncated) == 2
+
+
+def test_prefilter_is_superset_of_matchability():
+    """The vectorized can-match gate may only skip paragraphs the tagger
+    would return [] for — verified over corpus shards and adversarial
+    near-miss strings."""
+    import re
+
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.functions.tagger import prefilter_pattern
+
+    pat = re.compile(prefilter_pattern())
+    t = RegexGazetteerTagger(confidence_threshold=0.0)  # keep even weak spans
+    paras = []
+    for shard in range(3):
+        for text in gen_pages_shard(shard, shard * 100, 100)["text"].to_pylist():
+            paras.extend(p.strip() for p in text.split("\n") if p.strip())
+    paras += [
+        "sem entidades aqui, apenas palavras comuns.",
+        "Uma Frase Capitalizada Sem Gazetteer.",
+        "email at example dot com",  # no @ -> no E-MAIL possible
+        "",
+    ]
+    checked_skips = 0
+    for p in paras:
+        if not pat.search(p):
+            assert t.tag_paragraph(p) == [], p
+            checked_skips += 1
+    assert checked_skips > 50  # the gate actually fires on real fillers
