@@ -174,6 +174,8 @@ class RegexGazetteerTagger(Tagger):
         self.patterns = build_patterns()
         self.threshold = confidence_threshold
         self.max_length = max_length
+        # sound for THIS tagger: a non-matching paragraph yields no span
+        self.can_match_pattern = prefilter_pattern()
 
     # -- token-level tagging -------------------------------------------------
     def _token_tags(
@@ -323,6 +325,12 @@ class LogitsTagger(Tagger):
         self.model = model or FakeLogitsModel()
         self.threshold = confidence_threshold
         self.max_length = max_length
+        # the can-match gate is only sound when the logits provably derive
+        # from the gazetteer patterns; a real checkpoint can find entities
+        # the gate would skip, so it advertises none
+        self.can_match_pattern = (
+            prefilter_pattern() if isinstance(self.model, FakeLogitsModel) else None
+        )
 
     def _decode(self, text: str, offsets, logits) -> list[Span]:
         import numpy as np

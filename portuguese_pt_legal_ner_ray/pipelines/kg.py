@@ -185,11 +185,14 @@ def run_kg_pipeline(
     manifest = Manifest(out_dir)
     plan = _partition_files(input_dir, num_partitions)
     plan_sigs = [_files_sig(files) for files in plan]
-    # fingerprint ONLY output-affecting config (threshold, linking rules,
-    # tagger choice): perf knobs (batch size, pool sizing) produce identical
-    # outputs by construction and must not invalidate finished partitions
+    # fingerprint the config BY EXCLUSION: normalize away the named perf
+    # knobs (batch size, pool sizing — identical outputs by construction)
+    # and hash everything else, so any future output-affecting knob
+    # invalidates finished partitions by default
+    import dataclasses
+
     cfg_fp = hashlib.md5(
-        repr((cfg.confidence_threshold, cfg.linking, cfg.tagger)).encode()
+        repr(dataclasses.replace(cfg, ner_batch_size=0, ner_concurrency=None)).encode()
     ).hexdigest()
     plan_fp = hashlib.md5(json.dumps([plan_sigs, cfg_fp]).encode()).hexdigest()
     done_parts = 0
@@ -214,13 +217,16 @@ def run_kg_pipeline(
 
     stale_idx: set[int] = set()
     for p in manifest.dir.glob("extract__*.json"):
-        m = _re.fullmatch(r"extract__(\d+)", p.stem)
+        m = _re.fullmatch(r"extract__(\d{5})", p.stem)
         if m:
             stale_idx.add(int(m.group(1)))
     for sub in ("extracted", "extraction"):
         for d in (out_dir / sub).glob("part=*"):
-            m = _re.fullmatch(r"part=(\d+)", d.name)
-            if m:  # foreign/partial dir names are left alone, never parsed
+            # exact written format only: parsing then deleting a RE-PADDED
+            # path would miss e.g. a foreign 'part=7'; anything not ours is
+            # left alone entirely
+            m = _re.fullmatch(r"part=(\d{5})", d.name)
+            if m:
                 stale_idx.add(int(m.group(1)))
     for idx in sorted(stale_idx):
         if idx < len(plan):

@@ -98,6 +98,9 @@ class NerTripleStage:
             self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
         self.dynamic_batching = dynamic_batching
         self.token_budget = token_budget
+        # per-actor compiled gate: None when the tagger cannot guarantee the
+        # superset property (e.g. a real checkpoint behind LogitsTagger)
+        self.gate = getattr(self.tagger, "can_match_pattern", None)
         # bounded per-actor memo: tagging is a pure function of the text and
         # web corpora repeat boilerplate paragraphs heavily, so identical
         # paragraphs are decoded once per actor (cleared at 64k entries)
@@ -146,16 +149,15 @@ class NerTripleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..functions.tagger import prefilter_pattern
-
         texts = batch["para_text"].to_pylist()
         langs = batch["lang"].to_pylist()
         # vectorized can-match gate (one Arrow regex over the whole batch):
-        # a paragraph with no digit/@/gazetteer word cannot yield a span, so
+        # a paragraph the tagger's own gate rejects cannot yield a span, so
         # it skips the per-paragraph tagger entirely (same [] result)
-        can = pc.match_substring_regex(
-            batch["para_text"], prefilter_pattern()
-        ).to_pylist()
+        if self.gate is not None:
+            can = pc.match_substring_regex(batch["para_text"], self.gate).to_pylist()
+        else:
+            can = [True] * len(texts)
         pt_idx = [i for i, l in enumerate(langs) if l == "pt" and can[i]]
         tagged = self._tag_many([texts[i] for i in pt_idx])
         by_row = dict(zip(pt_idx, tagged))

@@ -39,34 +39,62 @@ class BroadcastLookup:
         self.out_col = out_col
         self.default = default
 
-        def _is_int(x) -> bool:
-            return isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+        _I64_MIN, _I64_MAX = np.iinfo(np.int64).min, np.iinfo(np.int64).max
 
-        # all-int mapping: precompute sorted key/value arrays so lookups run
-        # as exact int64 searchsorted — Series.map would round-trip found
-        # values through float64 (NaN promote), silently corrupting
-        # integers above 2^53 (hash/fingerprint ids)
+        def _is_i64(x) -> bool:
+            return (isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+                    and _I64_MIN <= int(x) <= _I64_MAX)
+
+        # all-int64-range mapping: precompute sorted key/value arrays so
+        # lookups run as exact int64 searchsorted — Series.map would
+        # round-trip found values through float64 (NaN promote), silently
+        # corrupting integers above 2^53 (hash/fingerprint ids). Out-of-
+        # int64-range ints (raw uint64 hashes) fall back to the map path.
         self._k_arr = self._v_arr = None
-        if (self.mapping and (default is None or _is_int(default))
-                and all(_is_int(k) for k in self.mapping)
-                and all(_is_int(v) for v in self.mapping.values())):
+        if (self.mapping and (default is None or _is_i64(default))
+                and all(_is_i64(k) for k in self.mapping)
+                and all(_is_i64(v) for v in self.mapping.values())):
             items = sorted(self.mapping.items())
             self._k_arr = np.array([k for k, _ in items], dtype=np.int64)
             self._v_arr = np.array([v for _, v in items], dtype=np.int64)
+        # map-path dtype restore is only exact below 2^53 (float64 mantissa)
+        self._small_int_values = all(
+            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+            and abs(int(v)) < 2 ** 53
+            for v in self.mapping.values()
+        ) if self.mapping else False
+        # int values beyond 2^53 that the searchsorted path can't serve
+        # (e.g. raw uint64 hashes > int64 max) would be corrupted by the
+        # pandas float64 round-trip: serve them with an exact object loop
+        self._need_exact_loop = self._k_arr is None and any(
+            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+            and abs(int(v)) >= 2 ** 53
+            for v in self.mapping.values()
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[self.key_col]
-        if self._k_arr is not None and pd.api.types.is_integer_dtype(keys):
+        if (self._k_arr is not None and pd.api.types.is_integer_dtype(keys)
+                and not keys.isna().any()):  # nullable Int64 NA -> map path
             kn = keys.to_numpy(dtype=np.int64)
             idx = np.clip(np.searchsorted(self._k_arr, kn), 0, len(self._k_arr) - 1)
             hit = self._k_arr[idx] == kn
             fb = kn if self.default is None else np.int64(self.default)
             batch[self.out_col] = np.where(hit, self._v_arr[idx], fb)
             return batch
+        if self._need_exact_loop:
+            m, d = self.mapping, self.default
+            batch[self.out_col] = [m.get(k, k if d is None else d) for k in keys]
+            return batch
         mapped = keys.map(self.mapping)  # vectorized dict lookup (object values)
         miss = mapped.isna()
         if miss.any():
             mapped = mapped.where(~miss, keys if self.default is None else self.default)
+            int_fallback = ((self.default is None and pd.api.types.is_integer_dtype(keys))
+                            or (isinstance(self.default, (int, np.integer))
+                                and not isinstance(self.default, bool)))
+            if self._small_int_values and int_fallback:
+                mapped = mapped.astype(np.int64)  # undo the NaN float64 promote
         batch[self.out_col] = mapped
         return batch
 

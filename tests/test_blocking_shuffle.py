@@ -210,3 +210,32 @@ def test_grouped_topk_matches_pandas(ray_session):
                .sort_values(["g", "v", "id"], ascending=[True, False, True])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got[["g", "v", "id"]], want)
+
+
+def test_broadcast_lookup_dtype_exactness(ray_session):
+    """BroadcastLookup must keep int64 exactness across every path: the
+    searchsorted fast path (values > 2^53), the object loop (values beyond
+    int64), the nullable-NA fallback, and the string-keyed map path."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import BroadcastLookup
+
+    big = 2 ** 60 + 1
+    bl = BroadcastLookup(ray.put({1: big}), "k", "o", default=0)
+    out = bl(pd.DataFrame({"k": [1, 2]}))
+    assert out["o"].tolist() == [big, 0]  # would be off by one via float64
+
+    huge = 2 ** 63 + 9
+    bl2 = BroadcastLookup(ray.put({np.uint64(2 ** 63 + 5): np.uint64(huge)}), "k", "o")
+    out2 = bl2(pd.DataFrame({"k": [2 ** 63 + 5, 1]}))
+    assert out2["o"].tolist() == [huge, 1]
+
+    bl3 = BroadcastLookup(ray.put({1: 10}), "k", "o", default=-1)
+    out3 = bl3(pd.DataFrame({"k": pd.array([1, None], dtype="Int64")}))
+    assert out3["o"].tolist() == [10, -1]
+
+    bl4 = BroadcastLookup(ray.put({"a": 7}), "k", "o", default=0)
+    out4 = bl4(pd.DataFrame({"k": ["a", "b"]}))
+    assert out4["o"].tolist() == [7, 0] and str(out4["o"].dtype) == "int64"
