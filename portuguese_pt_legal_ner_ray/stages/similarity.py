@@ -168,6 +168,7 @@ def embedding_near_dup_pairs_ivf(
     n_cells: int = 16,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 0,
 ) -> Dataset:
     """Cell-routed near-dup pairs: assign each vector to its nearest coarse
     centroid, ``groupby(cell)``, score pairs only WITHIN each cell.
@@ -179,9 +180,14 @@ def embedding_near_dup_pairs_ivf(
     missed (benchmarked via the planted-pair recall test, not hash-checked).
     Partitioning assumption: a single cell's vectors fit one worker
     (size ``n_cells`` to the corpus; salt hot cells if the embedding space
-    is degenerate).
+    is degenerate). ``train_iters > 0`` refines cells with distributed
+    Lloyd rounds first.
     """
-    cents_ref = ray.put(deterministic_centroids(vectors, n_cells, emb_col, id_col))
+    if train_iters > 0:
+        cents = kmeans_centroids(vectors, n_cells, train_iters, emb_col, id_col)
+    else:
+        cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
+    cents_ref = ray.put(cents)
 
     class AssignCell:
         def __init__(self):
@@ -252,9 +258,17 @@ def ivf_topk(
     nprobe: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 0,
 ) -> Dataset:
-    """Approximate top-k: probe only the ``nprobe`` closest coarse cells."""
-    cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
+    """Approximate top-k: probe only the ``nprobe`` closest coarse cells.
+
+    ``train_iters > 0`` refines the medoid seeds with that many distributed
+    Lloyd rounds (:func:`kmeans_centroids`) — better-balanced cells, higher
+    recall per probe, at one streamed pass per round."""
+    if train_iters > 0:
+        cents = kmeans_centroids(vectors, n_cells, train_iters, emb_col, id_col)
+    else:
+        cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
     cents_ref = ray.put(cents)
     q = ray.get(queries_ref)
     q_probe = np.argsort(-(_norm_rows(q["mat"]) @ cents.T), axis=1)[:, :nprobe]
@@ -313,3 +327,52 @@ def ivf_topk(
         )
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def kmeans_centroids(
+    vectors: Dataset,
+    n_cells: int,
+    iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd k-means for the IVF coarse quantizer.
+
+    Seeds with :func:`deterministic_centroids` (min-id medoids — order-free),
+    then runs ``iters`` rounds; each round is ONE streamed pass where every
+    batch emits its per-cell partial (sum vector, count) — a mergeable
+    combiner, so the driver reduces ``n_cells`` rows per batch, never
+    vectors. Empty cells keep their previous centroid. Deterministic at any
+    parallelism (assignment by argmax cosine; float sums are reduced in a
+    fixed per-cell order only on the driver).
+    """
+    cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
+    d = cents.shape[1]
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            mat = _norm_rows(_emb_matrix(batch, emb_col))
+            cells = (mat @ c.T).argmax(axis=1)
+            sums = np.zeros((n_cells, d), dtype=np.float64)
+            np.add.at(sums, cells, mat)
+            counts = np.bincount(cells, minlength=n_cells).astype(np.int64)
+            return pa.table({
+                "cell": pa.array(np.arange(n_cells), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        parts = vectors.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+        sums = np.zeros((n_cells, d), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        # fixed reduction order: group partials by cell, sum in cell order
+        for cell, grp in parts.groupby("cell", sort=True):
+            sums[cell] = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
+            counts[cell] = grp["n"].sum()
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = _norm_rows(sums[nonempty] / counts[nonempty, None])
+    return cents

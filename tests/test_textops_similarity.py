@@ -278,3 +278,31 @@ def test_asof_last_event(ray_session):
     assert got[3] == pd.Timestamp("2024-01-01 10:10")
     assert pd.isna(got[4])
     assert got[6] == pd.Timestamp("2024-01-01 09:30")
+
+
+def test_kmeans_centroids_cluster_recovery(ray_session):
+    """Distributed Lloyd rounds recover well-separated cluster directions
+    (every true center has a near-parallel learned centroid) and the result
+    is stable across partitionings up to float ulps."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        _norm_rows,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(4, 8)) * 5
+    mat = np.concatenate([c + rng.normal(scale=0.3, size=(200, 8)) for c in centers])
+    ids = rng.permutation(len(mat))
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids.tolist(), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+    })).repartition(6)
+    km = kmeans_centroids(vecs, 4, iters=4)
+    cn = _norm_rows(centers.astype(np.float64))
+    # every true cluster direction has a close learned centroid (Lloyd from
+    # medoid seeds can split/merge, so 0.9 — not 1.0 — is the honest bar)
+    assert ((cn @ km.T).max(axis=1) > 0.9).all()
+    km2 = kmeans_centroids(vecs.repartition(13), 4, iters=4)
+    assert np.allclose(km, km2, atol=1e-12)
