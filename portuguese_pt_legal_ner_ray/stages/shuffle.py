@@ -62,14 +62,26 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     lengths = np.diff(offsets)
     base = offsets[0]
-    seg = data[base : offsets[-1]].astype(np.uint64)
-    # per-byte weight = base^(position within its string)
-    rel = np.arange(len(seg), dtype=np.int64) - np.repeat(offsets[:-1] - base, lengths)
+    total = int(lengths.sum())
+    # dense start of each string in CONCATENATED byte order
+    dense_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=dense_starts[1:])
+    # per-byte weight position = offset within its own string
+    rel = np.arange(total, dtype=np.int64) - np.repeat(dense_starts, lengths)
+    if total == offsets[-1] - base:
+        # densely packed buffer: one contiguous slice
+        seg = data[base : offsets[-1]].astype(np.uint64)
+    else:
+        # non-dense layout — e.g. Arrow split kernels return zero-copy
+        # slices into the ORIGINAL buffer, leaving the separators as gaps
+        # between strings; gather exactly each string's bytes (assuming
+        # contiguity here would read gap bytes into the wrong hashes)
+        seg = data[np.repeat(offsets[:-1], lengths) + rel].astype(np.uint64)
     pw = _pow_table(int(lengths.max()) + 1 if len(lengths) else 1)
     vals = seg * pw[rel]
     # sentinel 0 so a trailing empty segment's start index stays in bounds
     vals = np.append(vals, np.uint64(0))
-    h = np.add.reduceat(vals, offsets[:-1] - base)
+    h = np.add.reduceat(vals, dense_starts)
     h[lengths == 0] = np.uint64(0)
     # fmix64 (murmur3 finalizer)
     h ^= h >> np.uint64(33)

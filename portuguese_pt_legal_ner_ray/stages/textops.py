@@ -125,11 +125,17 @@ def simhash64(tokens: list[str]) -> int:
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whole-batch simhash: one Arrow whitespace split + ONE vectorized hash
     pass over every token in the batch + a segmented bit-balance reduce —
-    no per-document (let alone per-token) Python in the loop."""
+    no per-document (let alone per-token) Python in the loop.
+
+    Tokenization is ASCII-whitespace split (exotic unicode spaces stay
+    inside tokens): ``utf8_split_whitespace`` proved NONDETERMINISTIC
+    across processes on this pyarrow for e.g. NBSP (lazy-init table race,
+    found by hypothesis), and a fingerprint must never depend on process
+    history."""
     from .shuffle import hash_strings
 
     n_docs = len(batch)
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(batch[text_col])).combine_chunks()
+    toks = pc.ascii_split_whitespace(pc.utf8_lower(batch[text_col])).combine_chunks()
     flat = toks.flatten()
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)  # split artifacts

@@ -77,16 +77,38 @@ def test_gram_hashes_match_scalar_reference(text, k):
     assert shingles(text, k) == set(_ref_gram_hash(text, k))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(st.lists(st.text(max_size=60), min_size=1, max_size=10))
 def test_simhash_batch_matches_scalar(vals):
+    import pyarrow.compute as pc
+
     t = pa.table({
         "doc_id": pa.array(range(len(vals)), pa.int64()),
         "text": pa.array(vals, pa.string()),
     })
+    import re as _re
+
     got = simhash_batch(t)["simhash"].to_pylist()
-    want = [simhash64(v.lower().split()) for v in vals]
+    # scalar reference: Arrow lower (Python str.lower differs from utf8proc
+    # on a few codepoints, e.g. 'İ') + an independent ASCII-whitespace split
+    want = []
+    for v in vals:
+        low = pc.utf8_lower(pa.array([v]))[0].as_py()
+        want.append(simhash64([x for x in _re.split(r"[ \t\n\r\x0b\x0c]+", low) if x]))
     assert got == want
+
+
+def test_hash_strings_non_dense_buffer():
+    """Arrow split kernels return zero-copy slices into the ORIGINAL buffer
+    (separator bytes remain as gaps between strings) — hashing such an
+    array must equal hashing a densely re-materialized copy. Regression:
+    the dense-layout assumption read gap bytes into neighboring hashes."""
+    import pyarrow.compute as pc
+
+    src = pa.array(["a b  c", "xx  yy ", " z", "", "q"])
+    flat = pc.list_flatten(pc.ascii_split_whitespace(src))
+    dense = pa.array(flat.to_pylist(), pa.string())  # fresh, densely packed
+    assert hash_strings(flat).tolist() == hash_strings(dense).tolist()
 
 
 def test_hash_strings_no_trivial_collisions():
