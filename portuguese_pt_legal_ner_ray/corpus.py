@@ -186,8 +186,16 @@ def atomic_publish(tmp: Path, final: Path) -> None:
     race (``final/_DONE`` exists), our staging copy is discarded — outputs
     are deterministic, so both copies are identical. A ``final`` WITHOUT
     the marker is a crashed run's debris: it is removed and the rename
-    retried once. Any other failure raises — a partial cache is never
-    silently served.
+    retried. Any other failure raises — a partial cache is never silently
+    served.
+
+    Debris removal is guarded by an exclusive ``flock`` on a sibling lock
+    file so the check-marker-then-delete sequence is atomic against other
+    publishers: without it, a winner could publish a VALID dir between our
+    ``_DONE`` check and ``rmtree(final)``, and readers that already saw the
+    marker would observe the published dir disappearing mid-read. Lock-free
+    fast-path publishers can't recreate that window — ``os.replace`` onto a
+    non-empty dir fails, so nobody publishes over existing debris.
     """
     import shutil
 
@@ -196,17 +204,25 @@ def atomic_publish(tmp: Path, final: Path) -> None:
         return
     except OSError:
         pass
-    if (final / "_DONE").exists():
-        shutil.rmtree(tmp, ignore_errors=True)
-        return
-    shutil.rmtree(final, ignore_errors=True)  # crashed-run debris
-    try:
-        os.replace(tmp, final)
-    except OSError as exc:
-        if (final / "_DONE").exists():  # lost a second race; winner is valid
-            shutil.rmtree(tmp, ignore_errors=True)
-            return
-        raise RuntimeError(f"could not publish cache dir {final}") from exc
+    import fcntl
+
+    lock_path = final.parent / f".{final.name}.publish.lock"
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if (final / "_DONE").exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            shutil.rmtree(final, ignore_errors=True)  # crashed-run debris
+            try:
+                os.replace(tmp, final)
+            except OSError as exc:
+                if (final / "_DONE").exists():  # fast-path winner is valid
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return
+                raise RuntimeError(f"could not publish cache dir {final}") from exc
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def ensure_webpages(sf: float, root: str = "/tmp/kgray_corpus") -> Path:

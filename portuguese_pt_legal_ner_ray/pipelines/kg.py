@@ -68,8 +68,18 @@ def _files_sig(files: list[str]) -> list[list]:
 
 
 def extract_partition(files: list[str], out_dir: Path, part: str,
-                      cfg: PipelineConfig) -> dict:
-    """One partition's linear section: read → text → explode → NER → write."""
+                      cfg: PipelineConfig,
+                      input_sig: list[list] | None = None) -> dict:
+    """One partition's linear section: read → text → explode → NER → write.
+
+    ``input_sig`` is the (path, size, mtime_ns) signature captured BEFORE any
+    file is read (run_kg_pipeline passes its plan-time sigs). Signing after
+    processing would record a mid-run in-place rewrite's NEW identity against
+    outputs derived from the OLD content, so a later resume would validate
+    the stale partition as current.
+    """
+    if input_sig is None:
+        input_sig = _files_sig(files)
     ext_dir = out_dir / "extracted" / f"part={part}"
     ner_dir = out_dir / "extraction" / f"part={part}"
     # a partition whose manifest row is missing may hold partial output from
@@ -99,7 +109,7 @@ def extract_partition(files: list[str], out_dir: Path, part: str,
     )
     return {
         "input_files": files,
-        "input_sig": _files_sig(files),
+        "input_sig": input_sig,
         "pages": parquet_row_count(ext_dir),
         "paragraphs": parquet_row_count(ner_dir),
     }
@@ -205,7 +215,8 @@ def run_kg_pipeline(
             continue
         if fail_after_partitions is not None and done_parts >= fail_after_partitions:
             raise RuntimeError("injected failure for resume test")
-        meta = extract_partition(files, out_dir, part, cfg)
+        meta = extract_partition(files, out_dir, part, cfg,
+                                 input_sig=plan_sigs[i])
         manifest.mark_done("extract", part, cfg_fp=cfg_fp, **meta)
         done_parts += 1
         ran_any = True

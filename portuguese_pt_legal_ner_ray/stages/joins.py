@@ -72,10 +72,30 @@ class BroadcastLookup:
             for v in self.mapping.values()
         )
 
+    @staticmethod
+    def _has_wrapping_keys(keys: pd.Series) -> bool:
+        """uint64 batch keys above int64 max would silently WRAP in the fast
+        path's ``to_numpy(dtype=int64)`` (pandas wraps, no error): a wrapped
+        key misses the mapping — or spuriously equals a negative mapping key
+        — and the identity fallback emits the wrapped negative value. Such
+        keys can never be in an all-int64-range mapping, so they are routed
+        to the exact object loop instead."""
+        arr = keys.to_numpy()
+        return (arr.dtype.kind == "u" and arr.dtype.itemsize == 8
+                and len(arr) > 0 and int(arr.max()) > np.iinfo(np.int64).max)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[self.key_col]
+        if (pd.api.types.is_integer_dtype(keys) and not keys.isna().any()
+                and self._has_wrapping_keys(keys)):
+            # exact loop: any float64/int64 round-trip corrupts these keys
+            m, d = self.mapping, self.default
+            batch[self.out_col] = [m.get(int(k), int(k) if d is None else d)
+                                   for k in keys]
+            return batch
         if (self._k_arr is not None and pd.api.types.is_integer_dtype(keys)
-                and not keys.isna().any()):  # nullable Int64 NA -> map path
+                and not keys.isna().any()  # nullable Int64 NA -> map path
+                and not self._has_wrapping_keys(keys)):
             kn = keys.to_numpy(dtype=np.int64)
             idx = np.clip(np.searchsorted(self._k_arr, kn), 0, len(self._k_arr) - 1)
             hit = self._k_arr[idx] == kn

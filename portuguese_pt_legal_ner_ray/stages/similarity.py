@@ -342,9 +342,13 @@ def kmeans_centroids(
     then runs ``iters`` rounds; each round is ONE streamed pass where every
     batch emits its per-cell partial (sum vector, count) — a mergeable
     combiner, so the driver reduces ``n_cells`` rows per batch, never
-    vectors. Empty cells keep their previous centroid. Deterministic at any
-    parallelism (assignment by argmax cosine; float sums are reduced in a
-    fixed per-cell order only on the driver).
+    vectors. Empty cells keep their previous centroid. Stable to float ulps
+    at any parallelism — NOT bitwise-identical: each batch's partial sums
+    (``np.add.at``) accumulate in block row order, so centroids can differ
+    across partitionings at the last float64 ulp, and a vector exactly
+    equidistant between two centroids could then flip cells. Exact
+    order-independence would need fixed-point accumulation; the IVF
+    consumers tolerate ulp-level drift (recall is approximate by design).
     """
     cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
     d = cents.shape[1]

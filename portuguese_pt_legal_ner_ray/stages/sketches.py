@@ -66,6 +66,11 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
     NULL values are excluded from counting (SQL's GROUP BY would surface a
     NULL group; filter upstream if that distinction matters).
 
+    Candidate recall is only guaranteed while every block's distinct count
+    fits the 4k per-block candidate budget (near-uniform splits); when any
+    block saturates it, a ``UserWarning`` is emitted so a complete-looking
+    top-k can't silently hide imperfect recall.
+
     Exact-degradation contract (same as ``approx_distinct``): when ``width``
     is much larger than the distinct-value cardinality, no candidate shares
     a slot with another value in ALL ``depth`` rows, every estimate is the
@@ -108,10 +113,15 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
         # batch cannot be a global top-k under any near-uniform split)
         vc = pd.Series(vals.to_pandas()).value_counts()
         cand = vc.nlargest(4 * k).index.tolist()
+        # saturated = this batch had MORE distinct values than the 4k
+        # candidate budget, so its tail was cut — candidate recall for the
+        # global top-k is no longer guaranteed (surfaced to the driver)
+        saturated = len(vc) > len(cand)
         n = max(len(cand), 1)
         return pa.table({
             "cms": pa.array([cms.tobytes()] + [None] * (n - 1), pa.binary()),
             "cand": pa.array((cand + [None] * (n - len(cand)))[:n], pa.string()),
+            "saturated": pa.array([saturated] + [None] * (n - 1), pa.bool_()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
@@ -119,6 +129,17 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
     for blob in parts["cms"]:
         if blob is not None:
             merged += np.frombuffer(blob, dtype=np.uint64).reshape(depth, width)
+    if parts["saturated"].fillna(False).any():
+        import warnings
+
+        warnings.warn(
+            "heavy_hitters: at least one block exceeded the per-block "
+            f"candidate budget ({4 * k}); a value below that rank in EVERY "
+            "block is missing from the candidate union, so top-k recall is "
+            "not guaranteed (the CMS estimates are also upward-biased once "
+            "width < cardinality). Raise k/width or pre-aggregate.",
+            stacklevel=2,
+        )
     # null = padding; "" is a legitimate candidate value
     cands = sorted({c for c in parts["cand"] if c is not None})
     if not cands:

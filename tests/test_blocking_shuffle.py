@@ -239,3 +239,14 @@ def test_broadcast_lookup_dtype_exactness(ray_session):
     bl4 = BroadcastLookup(ray.put({"a": 7}), "k", "o", default=0)
     out4 = bl4(pd.DataFrame({"k": ["a", "b"]}))
     assert out4["o"].tolist() == [7, 0] and str(out4["o"].dtype) == "int64"
+
+    # uint64 batch keys above int64 max against an all-int64 mapping: the
+    # searchsorted fast path would WRAP them (pandas to_numpy(int64) wraps
+    # silently); they must come back via the exact loop, not corrupted
+    wrap_key = 2 ** 63 + 11
+    bl5 = BroadcastLookup(ray.put({1: 5, -(2 ** 63) + 11: 99}), "k", "o")
+    out5 = bl5(pd.DataFrame({"k": np.array([wrap_key, 1], dtype=np.uint64)}))
+    assert out5["o"].tolist() == [wrap_key, 5]  # identity, NOT 99 / negative
+    bl6 = BroadcastLookup(ray.put({1: 5}), "k", "o", default=0)
+    out6 = bl6(pd.DataFrame({"k": np.array([wrap_key, 1], dtype=np.uint64)}))
+    assert out6["o"].tolist() == [0, 5]
