@@ -78,11 +78,29 @@ PAD_ID = 0
 VOCAB_SIZE = 32_000
 
 
-def _word_id(word: str) -> int:
-    """Deterministic hash vocab id (stand-in for a real WordPiece vocab)."""
-    import hashlib
+def _fmix64(x):
+    """murmur3 finalizer over a uint64 numpy array (full avalanche)."""
+    import numpy as np
 
-    h = int.from_bytes(hashlib.md5(word.lower().encode()).digest()[:4], "big")
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _word_id(word: str) -> int:
+    """Deterministic hash vocab id (stand-in for a real WordPiece vocab).
+
+    Single-word form of the vectorized batch path (one ``hash_strings``
+    call over the whole batch's words in :func:`mlm_mask_batch`)."""
+    import pyarrow as pa
+
+    from ..stages.shuffle import hash_strings
+
+    h = int(hash_strings(pa.array([word.lower()], pa.string()))[0])
     return _SPECIAL_IDS + h % (VOCAB_SIZE - _SPECIAL_IDS)
 
 
@@ -98,53 +116,84 @@ def mlm_mask_batch(batch, text_col: str = "text", mask_prob: float = 0.15,
     ``labels`` holds the original id at selected positions and -100
     elsewhere; sequences truncate at ``max_length`` and pad to the batch
     max (``attention_mask`` 0 on padding). Selection uses a position-keyed
-    md5 draw instead of the collator's RNG, so the masking is a pure
+    hash draw instead of the collator's RNG, so the masking is a pure
     function of (text, position, seed) — identical at any parallelism,
     reproducible across runs (SURVEY.md §4 determinism contract; the
     reference's seeded-RNG masking is order-dependent by construction).
+
+    Fully vectorized (this is pretraining data prep — THE hot path at
+    100 TB of text): one ``hash_strings`` pass over the batch's words for
+    vocab ids, one over ``seed|text`` for per-doc digests, and a numpy
+    ``fmix64(doc_digest ^ fmix64(position))`` for every per-position draw —
+    no per-token Python or md5 anywhere.
     """
-    import hashlib
-
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    from ..stages.shuffle import hash_strings
     from .tagger import tokenize_with_offsets
 
     texts = batch[text_col].to_pylist()
-    rows = []
-    for text in texts:
-        words = [text[s:e] for s, e in tokenize_with_offsets(text)[:max_length]]
-        ids = [_word_id(w) for w in words]
-        # hash the document once; per-position draws reuse the digest so the
-        # masking stays a pure function of (text, position, seed) at
-        # O(n_tokens) instead of O(n_tokens x len(text)) hashed bytes
-        tdig = hashlib.md5(f"{seed}|{text}".encode()).hexdigest()
-        inp, labels = [], []
-        for pos, tid in enumerate(ids):
-            d = int.from_bytes(
-                hashlib.md5(f"{tdig}|{pos}".encode()).digest()[:8], "big")
-            draw = (d % 10_000) / 10_000.0
-            if draw < mask_prob:
-                labels.append(tid)
-                sub = d >> 32
-                if draw < mask_prob * 0.8:          # 80%: [MASK]
-                    inp.append(MASK_ID)
-                elif draw < mask_prob * 0.9:        # 10%: random id
-                    inp.append(_SPECIAL_IDS + sub % (VOCAB_SIZE - _SPECIAL_IDS))
-                else:                                # 10%: unchanged
-                    inp.append(tid)
-            else:
-                labels.append(IGNORE_ID)
-                inp.append(tid)
-        rows.append((inp, labels))
-    lmax = max((len(r[0]) for r in rows), default=1)
-    input_ids, attention, labels_col = [], [], []
-    for inp, lab in rows:
-        pad = lmax - len(inp)
-        input_ids.append(inp + [PAD_ID] * pad)
-        attention.append([1] * len(inp) + [0] * pad)
-        labels_col.append(lab + [IGNORE_ID] * pad)
+    n = len(texts)
+    words_flat: list[str] = []
+    lens = np.zeros(n, dtype=np.int64)
+    for i, text in enumerate(texts):
+        spans = tokenize_with_offsets(text)[:max_length]
+        lens[i] = len(spans)
+        words_flat.extend(text[s:e] for s, e in spans)
+    total = int(lens.sum())
+
+    # vocab ids: ONE vectorized hash over every word in the batch
+    if total:
+        wh = hash_strings(pc.utf8_lower(pa.array(words_flat, pa.string())))
+    else:
+        wh = np.empty(0, dtype=np.uint64)
+    ids = (_SPECIAL_IDS
+           + (wh % np.uint64(VOCAB_SIZE - _SPECIAL_IDS))).astype(np.int64)
+
+    # per-doc digest (pure function of seed|text), repeated per token, mixed
+    # with the within-doc position for the per-position draw
+    tcol = batch[text_col]
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    tdig = hash_strings(
+        pc.binary_join_element_wise(pa.array([seed] * n, pa.string()), tcol, "|")
+    )
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    d = _fmix64(np.repeat(tdig, lens) ^ _fmix64(pos.astype(np.uint64)))
+    draw = (d % np.uint64(10_000)).astype(np.float64) / 10_000.0
+    sub = d >> np.uint64(32)
+
+    sel = draw < mask_prob
+    as_mask = draw < mask_prob * 0.8                       # 80%: [MASK]
+    as_rand = (draw >= mask_prob * 0.8) & (draw < mask_prob * 0.9)  # 10%
+    inp = ids.copy()
+    inp[as_mask] = MASK_ID
+    inp[as_rand] = (_SPECIAL_IDS
+                    + sub[as_rand] % np.uint64(VOCAB_SIZE - _SPECIAL_IDS)
+                    ).astype(np.int64)
+    labels = np.where(sel, ids, IGNORE_ID)
+
+    # pad to the batch max via one [n, lmax] scatter; list arrays are built
+    # from the flat buffer + uniform offsets (no per-row Python lists)
+    lmax = int(lens.max()) if n else 1
+    inp_mat = np.full((n, lmax), PAD_ID, dtype=np.int32)
+    att_mat = np.zeros((n, lmax), dtype=np.int8)
+    lab_mat = np.full((n, lmax), IGNORE_ID, dtype=np.int32)
+    row_idx = np.repeat(np.arange(n), lens)
+    inp_mat[row_idx, pos] = inp
+    att_mat[row_idx, pos] = 1
+    lab_mat[row_idx, pos] = labels
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * lmax)
+
+    def _list(mat: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel(), typ))
+
     return pa.table({
-        "input_ids": pa.array(input_ids, pa.list_(pa.int32())),
-        "attention_mask": pa.array(attention, pa.list_(pa.int8())),
-        "labels": pa.array(labels_col, pa.list_(pa.int32())),
+        "input_ids": _list(inp_mat, pa.int32()),
+        "attention_mask": _list(att_mat, pa.int8()),
+        "labels": _list(lab_mat, pa.int32()),
     })

@@ -17,7 +17,6 @@ raw text, when ``by_fingerprint=True``; LSH shuffles one row per (doc, band).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
@@ -197,21 +196,16 @@ def minhash_lsh_pairs(
 
     from .joins import hash_join
 
-    # the pair set is tiny (O(near-dups), not O(corpus)): materialize it once
-    # and semi-filter the docs side down to candidate ids BEFORE the joins,
-    # so the join shuffle moves only candidate texts, never the whole corpus
-    pairs = pairs.materialize()
-    cand = pairs.to_pandas()
-    cand_ids = {
-        "a": pa.array(sorted(set(cand["id_a"])), pa.int64()),
-        "b": pa.array(sorted(set(cand["id_b"])), pa.int64()),
-    }
-
+    # The semi-join is done BY the two inner hash_joins themselves: each
+    # bucket's pandas merge discards non-candidate docs, so nothing is ever
+    # materialized on the driver and no candidate-id set is shipped into
+    # tasks. (A driver collect of distinct candidate ids is O(corpus) on
+    # heavily duplicated web corpora — 30-50% dup rates are normal — which
+    # made the previous is_in pre-filter a scale hazard.) The cost is one
+    # pass of the corpus text through each join's bucketed exchange — the
+    # same volume any repartition moves, streamed with backpressure.
     def _as(side: str):
-        ids = cand_ids[side]
-
         def f(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t["doc_id"], value_set=ids))
             return pa.table({f"id_{side}": t["doc_id"], f"text_{side}": t[text_col]})
 
         return f
@@ -248,6 +242,13 @@ def minhash_lsh_pairs(
     return with_b.map_batches(verify, batch_format="pyarrow")
 
 
+def _char_pool() -> tuple[int, int]:
+    """CPU-scaled actor-pool bounds (see stages/similarity._pool_size)."""
+    import ray
+
+    return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+
 def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,
                        text_col: str = "text") -> Dataset:
     """All pairs with distinct-character Jaccard >= threshold.
@@ -280,7 +281,7 @@ def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,
                              "id_b": pa.array(b_out, pa.int64())})
 
     return docs.select_columns(["doc_id", text_col]).map_batches(
-        PairScan, batch_format="pyarrow", concurrency=(1, 4)
+        PairScan, batch_format="pyarrow", concurrency=_char_pool()
     )
 
 

@@ -154,24 +154,45 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64):
         [(key, fa[key])] + [(c, fa[c]) for c in a_cols] + [(c, fb[c]) for c in b_cols]
     )
 
+    import pyarrow.compute as pc
+
     from .shuffle import hash_strings
 
-    def tag(src: int):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__src"] = src
-            df = df.reindex(columns=all_cols)
-            df["__bucket"] = (
-                hash_strings(pa.Array.from_pandas(df[key].astype(str)))
-                % np.uint64(num_buckets)
-            ).astype(np.int64)
-            return df
+    # one shared tagged schema both sides reindex to (missing payload
+    # columns become typed nulls), so union blocks agree on layout
+    tagged_schema = pa.schema(
+        [(key, fa[key])] + [(c, fa[c]) for c in a_cols]
+        + [(c, fb[c]) for c in b_cols]
+        + [("__src", pa.int8()), ("__bucket", pa.int64())]
+    )
+
+    def tag(src: int, own_cols: list[str]):
+        # Arrow-native tag: no pandas copy per batch; the bucket is the
+        # shared vectorized string hash of the key column
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            buckets = (hash_strings(pc.cast(t[key], pa.string()).combine_chunks())
+                       % np.uint64(num_buckets)).astype(np.int64)
+            cols = []
+            for field in tagged_schema:
+                if field.name == "__src":
+                    cols.append(pa.array(np.full(n, src, dtype=np.int8)))
+                elif field.name == "__bucket":
+                    cols.append(pa.array(buckets, pa.int64()))
+                elif field.name == key or field.name in own_cols:
+                    cols.append(pc.cast(t[field.name], field.type))
+                else:
+                    cols.append(pa.nulls(n, field.type))
+            return pa.table(dict(zip(tagged_schema.names, cols)))
 
         return f
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
-        left = g.loc[g["__src"] == 0, [key, *a_cols]]
-        right = g.loc[g["__src"] == 1, [key, *b_cols]]
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # filter sides in Arrow FIRST so each side's pandas view has no
+        # nulls (a null-bearing int64 column would float64-promote and
+        # corrupt ids above 2^53 in the merge)
+        left = g.filter(pc.equal(g["__src"], 0)).select([key, *a_cols]).to_pandas()
+        right = g.filter(pc.equal(g["__src"], 1)).select([key, *b_cols]).to_pandas()
         merged = left.merge(right, on=key, how="inner")
         # explicit schema so empty groups still emit typed Arrow blocks;
         # strip the b'pandas' schema metadata from_pandas attaches — it is a
@@ -181,8 +202,8 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64):
             merged, schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
 
-    a_tagged = ds_a.map_batches(tag(0), batch_format="pandas")
-    b_tagged = ds_b.map_batches(tag(1), batch_format="pandas")
+    a_tagged = ds_a.map_batches(tag(0, a_cols), batch_format="pyarrow")
+    b_tagged = ds_b.map_batches(tag(1, b_cols), batch_format="pyarrow")
     return a_tagged.union(b_tagged).groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )

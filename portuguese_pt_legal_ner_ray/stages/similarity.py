@@ -20,6 +20,14 @@ import ray
 from ray.data import Dataset
 
 
+def _pool_size() -> tuple[int, int]:
+    """Actor-pool bounds scaled to the session's CPU width (same policy as
+    pipelines/kg._resolve_concurrency) — a hard-coded cap would run the
+    scan stages at a fraction of a wide cluster."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus))
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -88,7 +96,7 @@ def brute_force_topk(
         batch_format="pyarrow",
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
                                    emb_col=emb_col, id_col=id_col),
-        concurrency=(1, 4),
+        concurrency=_pool_size(),
     )
 
     def final_topk(group: pa.Table) -> pa.Table:
@@ -213,7 +221,7 @@ def embedding_near_dup_pairs_ivf(
 
     return (
         vectors.select_columns([id_col, emb_col])
-        .map_batches(AssignCell, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(AssignCell, batch_format="pyarrow", concurrency=_pool_size())
         .groupby("__cell")
         .map_groups(cell_pairs, batch_format="pyarrow")
     )
@@ -309,7 +317,7 @@ def ivf_topk(
         batch_format="pyarrow",
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
                                    emb_col=emb_col, id_col=id_col),
-        concurrency=(1, 4),
+        concurrency=_pool_size(),
     )
 
     def final_topk(group: pa.Table) -> pa.Table:

@@ -2,15 +2,17 @@
 
 The decomposable-aggregate pattern for when exact distinct (a full shuffle,
 see stages/shuffle.grouped_count) is too expensive at 10^12 rows: each
-batch keeps the k smallest md5 hashes of its values (a combiner), partial
-sketches merge by keeping the global k smallest — order-free and exact
-under union, so the estimate is identical at any parallelism. Estimator:
-(k-1) / kth_min_normalized (standard KMV).
+batch keeps the k smallest 64-bit hashes of its values (a combiner),
+partial sketches merge by keeping the global k smallest — order-free and
+exact under union, so the estimate is identical at any parallelism.
+Estimator: (k-1) / kth_min_normalized (standard KMV). Hashing is the
+shared vectorized ``hash_strings`` kernel (one pass per batch, no per-value
+Python); 64-bit width keeps the exact-degradation mode collision-free far
+beyond the 32-bit birthday bound.
 """
 
 from __future__ import annotations
 
-import hashlib
 import heapq
 
 import numpy as np
@@ -18,22 +20,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-_MAX32 = float(1 << 32)
+_MAX64 = float(1 << 64)
 
 
-def _hash_values(values: list) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big")
-         for v in values),
-        dtype=np.uint64, count=len(values),
-    )
+def _hash_values(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    from .shuffle import hash_strings
+
+    vals = pc.cast(arr, pa.string())
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    return hash_strings(vals)
 
 
 def approx_distinct(ds: Dataset, col: str, k: int = 1024) -> float:
     """KMV estimate of the number of distinct values in ``col``."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        h = np.unique(_hash_values(batch[col].to_pylist()))
+        h = np.unique(_hash_values(batch[col]))
         smallest = h[:k] if len(h) <= k else np.partition(h, k - 1)[:k]
         return pa.table({"h": pa.array(np.sort(smallest), pa.uint64())})
 
@@ -42,7 +45,7 @@ def approx_distinct(ds: Dataset, col: str, k: int = 1024) -> float:
     if len(uniq) < k:
         return float(len(uniq))  # saw everything: exact
     kth = float(np.sort(uniq)[k - 1])
-    return (k - 1) / (kth / _MAX32)
+    return (k - 1) / (kth / _MAX64)
 
 
 def merge_kmv(sketches: list[np.ndarray], k: int) -> np.ndarray:

@@ -76,6 +76,28 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p for p in found)
 
 
+def test_minhash_verify_no_driver_collect(docs, monkeypatch):
+    """The join-based verify must never materialize pairs or candidate ids
+    on the driver (O(corpus) on dup-heavy web corpora): poison the
+    driver-side collectors and require the verified pairs to still come
+    through, consumed via streaming iter_batches."""
+    from ray.data import Dataset
+
+    from portuguese_pt_legal_ner_ray.stages.dedup import minhash_lsh_pairs
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect inside minhash verify")
+
+    monkeypatch.setattr(Dataset, "to_pandas", boom)
+    monkeypatch.setattr(Dataset, "take_all", boom)
+    pairs_ds = minhash_lsh_pairs(docs, threshold=0.5, verify_docs=docs)
+    found = set()
+    for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
+        found.update(zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()))
+    assert (0, 1) in found and (0, 2) in found
+    assert not any(3 in p for p in found)
+
+
 def test_simhash_buckets_colocate_dups(ray_session):
     import ray
 
