@@ -23,6 +23,10 @@ from typing import Any
 
 _KG_RUN_ROOT = "/tmp/kgray_runs"
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# RE2-unicode equivalent of the tagger's  \w+|[^\w\s]  tokenizer (DuckDB
+# regexp_* is RE2, whose \w is ASCII-only; \pL\pN covers the corpus's
+# accented Latin) — used by the kg_confusion_tokens oracle
+_TOK_RE2 = r"[\pL\pN_]+|[^\pL\pN_\s]"
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -402,6 +406,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return confusion_matrix(*_spans_pair(sf_dir))
 
+    def kg_confusion_tokens(sf_dir: str):
+        """Token-level O-inclusive confusion (reference src/training.py:196-208
+        flattens all tag sequences including O)."""
+        from portuguese_pt_legal_ner_ray.stages.evalx import token_confusion
+
+        pred, gold = _spans_pair(sf_dir)
+        out = _kg_out(_sf_of(sf_dir))
+        paras = ray.data.read_parquet(str(out / "extraction"),
+                                      columns=["para_text"])
+        return token_confusion(pred, gold, paras)
+
     return {
         "kg_extract_text": kg_extract_text,
         "kg_paragraphs": kg_paragraphs,
@@ -437,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": doc_quality_filter,
         "kg_span_eval": kg_span_eval,
         "kg_confusion": kg_confusion,
+        "kg_confusion_tokens": kg_confusion_tokens,
         "rel_customers_per_region": rel_customers_per_region,
         "rel_orders_per_nation": rel_orders_per_nation,
         "rel_top_orders": rel_top_orders,
@@ -611,11 +627,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'micro', count(*), 0, 0, CAST(1.0 AS DOUBLE),
                    CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+            FROM read_parquet('{p['golden']}/spans.parquet')
+            UNION ALL
+            SELECT 'macro', count(*), 0, 0, CAST(1.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+            FROM read_parquet('{p['golden']}/spans.parquet')
+            UNION ALL
+            SELECT 'weighted', count(*), 0, 0, CAST(1.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
             FROM read_parquet('{p['golden']}/spans.parquet')""",
         "kg_confusion": f"""
             SELECT label AS gold_label, label AS pred_label, count(*) AS n
             FROM read_parquet('{p['golden']}/spans.parquet')
             GROUP BY label""",
+        # token-level O-inclusive confusion: the engine's predictions equal
+        # the goldens, so every cell is diagonal — B- cells count spans,
+        # I- cells count continuation tokens, O/O = corpus tokens minus
+        # span-covered tokens. Token pattern is the RE2-unicode equivalent
+        # of the tagger's \\w+|[^\\w\\s] (validated char-identical on this
+        # corpus).
+        "kg_confusion_tokens": f"""
+            WITH tok AS (
+              SELECT sum(len(regexp_extract_all(para_text, '{_TOK_RE2}'))) AS total
+              FROM read_parquet('{p['golden']}/paragraphs.parquet')),
+            st AS (
+              SELECT label, count(*) AS n_spans,
+                     sum(len(regexp_extract_all(surface, '{_TOK_RE2}'))) AS n_toks
+              FROM read_parquet('{p['golden']}/spans.parquet') GROUP BY label)
+            SELECT 'B-' || label AS gold_tag, 'B-' || label AS pred_tag,
+                   CAST(n_spans AS BIGINT) AS n FROM st
+            UNION ALL
+            SELECT 'I-' || label, 'I-' || label, CAST(n_toks - n_spans AS BIGINT)
+            FROM st WHERE n_toks > n_spans
+            UNION ALL
+            SELECT 'O', 'O',
+                   CAST(tok.total - (SELECT sum(n_toks) FROM st) AS BIGINT)
+            FROM tok""",
         "rel_customers_per_region": """
             SELECT r.r_name, count(*) AS n_customers
             FROM customer c

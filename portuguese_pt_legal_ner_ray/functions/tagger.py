@@ -118,22 +118,110 @@ class Tagger:
 class HFTagger(Tagger):
     """HF token-classification checkpoint behind the same decode path.
 
-    Reference-faithful plan (src/inference.py:65-96, 185-216): tokenizer with
-    ``return_offsets_mapping=True``, batched forward pass with dynamic
-    padding (see ``length_sorted_batches``), argmax per token, then the
-    SHARED ``decode_simple`` + threshold/validity filters — so swapping the
-    model never changes decode semantics. Unavailable in this sandbox
-    (no transformers / no network), so construction raises with guidance.
+    Reference-faithful chain (src/inference.py:65-96, 185-216): tokenizer
+    with ``return_offsets_mapping=True``, batched forward pass with dynamic
+    padding (sub-batches planned by ``length_sorted_batches`` so
+    ``len(batch) × max_len`` stays under a token budget), softmax + argmax
+    per token, then the SHARED ``decode_simple`` ("simple" aggregation:
+    new group on ``B-``/type change, score = mean member score, char span =
+    first token start → last token end) + the reference's confidence
+    ``>=`` (src/inference.py:203) and span-validity (src/inference.py:209)
+    filters — so swapping the model never changes decode semantics.
+    Decode runs at the tokenizer's (subword) token level; consecutive
+    subwords of one entity merge in ``decode_simple`` by type continuity.
+
+    Needs the ``transformers`` package and a local checkpoint (no network);
+    in environments without them, construction raises with guidance. The
+    glue is exercised in-sandbox by tests with a stubbed ``transformers``
+    module, asserted span-identical to ``LogitsTagger`` on the golden
+    example (INFERENCE_README.md:74).
     """
 
-    def __init__(self, model_path: str, confidence_threshold: float = CONFIDENCE_THRESHOLD):
+    def __init__(self, model_path: str,
+                 confidence_threshold: float = CONFIDENCE_THRESHOLD,
+                 max_length: int = MAX_LENGTH, token_budget: int = 8192):
         try:
-            import transformers  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - always in this sandbox
+            from transformers import (
+                AutoModelForTokenClassification,
+                AutoTokenizer,
+            )
+        except ImportError as exc:
             raise NotImplementedError(
                 "HFTagger needs the 'transformers' package and a local "
                 "checkpoint; use RegexGazetteerTagger in this environment"
             ) from exc
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModelForTokenClassification.from_pretrained(model_path)
+        self.model.eval()
+        # label map from the checkpoint config (falls back to the engine's)
+        cfg = getattr(self.model, "config", None)
+        id2label = getattr(cfg, "id2label", None)
+        self.id_to_label = ({int(k): v for k, v in id2label.items()}
+                            if id2label else ID_TO_LABEL)
+        self.threshold = confidence_threshold
+        self.max_length = max_length
+        self.token_budget = token_budget
+        self.can_match_pattern = None  # a real checkpoint defeats the gate
+
+    @staticmethod
+    def _np(x):
+        """torch tensor | numpy -> numpy (keeps the stub torch-free)."""
+        import numpy as np
+
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().numpy()
+        return np.asarray(x)
+
+    def _forward(self, enc):
+        """model(**enc).logits with no_grad when torch is available."""
+        try:
+            import torch
+
+            ctx = torch.no_grad()
+        except ImportError:  # stubbed-transformers tests
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return self.model(**enc).logits
+
+    def tag_batch(self, texts: list[str]) -> list[list[Span]]:
+        import numpy as np
+
+        out: list[list[Span]] = [[] for _ in texts]
+        for grp in length_sorted_batches(texts, self.token_budget):
+            sub = [texts[i] for i in grp]
+            enc = self.tokenizer(
+                sub, return_offsets_mapping=True, truncation=True,
+                max_length=self.max_length, padding=True, return_tensors="pt",
+            )
+            offsets = self._np(enc.pop("offset_mapping"))
+            attn = self._np(enc["attention_mask"])
+            logits = self._np(self._forward(enc))
+            shifted = logits - logits.max(axis=-1, keepdims=True)
+            probs = np.exp(shifted)
+            probs /= probs.sum(axis=-1, keepdims=True)
+            ids = probs.argmax(axis=-1)
+            for row, ti in enumerate(grp):
+                text = texts[ti]
+                # keep attended, non-special tokens (specials/pads map to
+                # the empty (0, 0) char range by HF convention)
+                keep = (attn[row] == 1) & (offsets[row, :, 0] != offsets[row, :, 1])
+                offs = [tuple(map(int, o)) for o in offsets[row][keep]]
+                tags = [self.id_to_label[int(i)] for i in ids[row][keep]]
+                scores = np.round(
+                    probs[row][keep][np.arange(int(keep.sum())), ids[row][keep]], 6
+                ).tolist()
+                spans = []
+                for sp in RegexGazetteerTagger.decode_simple(offs, tags, scores):
+                    if (sp.score >= self.threshold
+                            and 0 <= sp.start < sp.end <= len(text)):
+                        spans.append(sp)
+                out[ti] = spans
+        return out
+
+    def tag_paragraph(self, text: str) -> list[Span]:
+        return self.tag_batch([text])[0]
 
 
 def length_sorted_batches(texts: list[str], token_budget: int = 8192):

@@ -108,6 +108,22 @@ def span_eval(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
         tot = [a + b for a, b in zip(tot, (r.tp, r.fp, r.fn))]
         rows.append(_metric_row(r.label, int(r.tp), int(r.fp), int(r.fn)))
     rows.append(_metric_row("micro", *[int(x) for x in tot]))
+    # macro / weighted rows (reference src/training.py:81-99 — its
+    # classification_report computes both even though it excludes them from
+    # the logged metrics): computed from the SAME per-label partials, zero
+    # extra shuffle. tp/fp/fn carry the totals (as in the micro row); the
+    # metric columns carry the unweighted / support-weighted means.
+    per = rows[:-1]
+    if per:
+        support = [r["tp"] + r["fn"] for r in per]
+        for name, wts in (("macro", [1.0] * len(per)), ("weighted", support)):
+            wsum = max(1e-12, float(sum(wts)))
+            rows.append({
+                "label": name, "tp": tot[0], "fp": tot[1], "fn": tot[2],
+                "precision": sum(w * r["precision"] for w, r in zip(wts, per)) / wsum,
+                "recall": sum(w * r["recall"] for w, r in zip(wts, per)) / wsum,
+                "f1": sum(w * r["f1"] for w, r in zip(wts, per)) / wsum,
+            })
     return pd.DataFrame(rows)
 
 
@@ -141,3 +157,107 @@ def confusion_matrix(pred_spans: Dataset, gold_spans: Dataset) -> pd.DataFrame:
         alias="n",
     ).to_pandas()
     return cells.sort_values(["gold_label", "pred_label"]).reset_index(drop=True)
+
+
+def _span_token_tags(spans: Dataset, col: str) -> Dataset:
+    """Explode spans into per-token BIO rows: (url, para_idx, tok, tag) with
+    ``tok`` = the token's absolute char start. Token offsets come from
+    tokenizing the span SURFACE and shifting by span start — valid because
+    tagger spans begin and end exactly on token boundaries. The per-span
+    Python loop is fine at scale: spans are orders of magnitude fewer than
+    corpus tokens."""
+    import pyarrow.compute as pc
+
+    from ..functions.tagger import tokenize_with_offsets
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, pidx, toks, tags = [], [], [], []
+        for url, pi, start, label, surface in zip(
+            t["url"].to_pylist(),
+            pc.cast(t["para_idx"], pa.int64()).to_pylist(),
+            pc.cast(t["start"], pa.int64()).to_pylist(),
+            t["label"].to_pylist(),
+            t["surface"].to_pylist(),
+        ):
+            for k, (s, _e) in enumerate(tokenize_with_offsets(surface)):
+                urls.append(url)
+                pidx.append(pi)
+                toks.append(start + s)
+                tags.append(("B-" if k == 0 else "I-") + label)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "para_idx": pa.array(pidx, pa.int64()),
+            "tok": pa.array(toks, pa.int64()),
+            f"{col}_tag": pa.array(tags, pa.string()),
+        })
+
+    return spans.map_batches(explode, batch_format="pyarrow")
+
+
+def token_confusion(pred_spans: Dataset, gold_spans: Dataset,
+                    paragraphs: Dataset, text_col: str = "para_text") -> pd.DataFrame:
+    """Token-level, O-INCLUSIVE confusion matrix (gold_tag, pred_tag, n).
+
+    Reference semantics: src/training.py:196-208 flattens ALL tag sequences
+    — including ``O`` positions — before sklearn's confusion_matrix; the
+    span-position :func:`confusion_matrix` above deliberately counts typed
+    spans only, so a user reproducing reference numbers needs this variant.
+
+    Distributed shape: spans explode to per-token BIO rows; one bucketed
+    grouped_agg merges pred/gold tags per (url, para_idx, token) key; a
+    second grouped_count collapses to |tags|² cells. A token covered by only
+    one side counts against ``O`` on the other. The O/O cell = corpus token
+    count (a scalar combiner over paragraphs) minus tokens covered by either
+    side — the driver never sees per-token rows. Axes sorted (the
+    reference's nondeterministic ``set()`` axis order is a documented bug
+    not replicated, SURVEY.md §7).
+    """
+    from ..functions.tagger import tokenize_with_offsets
+
+    pred = _span_token_tags(pred_spans, "pred").map_batches(
+        lambda t: t.append_column("gold_tag", pa.array([""] * len(t), pa.string())),
+        batch_format="pyarrow",
+    )
+    gold = _span_token_tags(gold_spans, "gold").map_batches(
+        lambda t: t.append_column("pred_tag", pa.array([""] * len(t), pa.string())),
+        batch_format="pyarrow",
+    )
+    merged = grouped_agg(
+        pred.union(gold),
+        ["url", "para_idx", "tok"],
+        {"pred_tag": ("pred_tag", "max"), "gold_tag": ("gold_tag", "max")},
+    )
+
+    import pyarrow.compute as pc
+
+    from .shuffle import grouped_count
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        o = pa.array(["O"] * len(t), pa.string())
+        return pa.table({
+            "gold_tag": pc.if_else(pc.equal(t["gold_tag"], ""), o, t["gold_tag"]),
+            "pred_tag": pc.if_else(pc.equal(t["pred_tag"], ""), o, t["pred_tag"]),
+        })
+
+    cells = grouped_count(
+        merged.map_batches(to_cells, batch_format="pyarrow"),
+        ["gold_tag", "pred_tag"],
+        alias="n",
+    ).to_pandas()
+
+    # corpus token count: scalar combiner (one partial row per block)
+    def tok_partial(t: pa.Table) -> pa.Table:
+        n = sum(len(tokenize_with_offsets(x)) for x in t[text_col].to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = int(
+        paragraphs.map_batches(tok_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()["n"].sum()
+    )
+    covered = int(cells["n"].sum())
+    cells = pd.concat(
+        [cells, pd.DataFrame([{"gold_tag": "O", "pred_tag": "O",
+                               "n": total - covered}])],
+        ignore_index=True,
+    )
+    return cells.sort_values(["gold_tag", "pred_tag"]).reset_index(drop=True)

@@ -126,6 +126,74 @@ def test_confusion_matrix_sorted(eval_spans):
     assert list(cm["gold_label"]) == sorted(cm["gold_label"])
 
 
+def test_span_eval_macro_weighted_rows(eval_spans):
+    """Macro/weighted averages (reference src/training.py:81-99 computes
+    them in classification_report) from the same per-label partials."""
+    from portuguese_pt_legal_ner_ray.stages.evalx import span_eval
+
+    df = span_eval(*eval_spans).set_index("label")
+    # per-label (tp,fp,fn): PER(1,1,0) ORG(1,1,0) LOC(0,0,1) DAT(0,0,1)
+    m = df.loc["macro"]
+    assert abs(m.precision - (0.5 + 0.5 + 0 + 0) / 4) < 1e-9
+    assert abs(m.recall - (1.0 + 1.0 + 0 + 0) / 4) < 1e-9
+    assert abs(m.f1 - (2 / 3 + 2 / 3) / 4) < 1e-9
+    w = df.loc["weighted"]  # support (tp+fn): PER=1 ORG=1 LOC=1 DAT=1
+    assert abs(w.precision - (0.5 + 0.5) / 4) < 1e-9
+    assert abs(w.recall - (1.0 + 1.0) / 4) < 1e-9
+    assert abs(w.f1 - (2 / 3 + 2 / 3) / 4) < 1e-9
+    assert m.tp == df.loc["micro"].tp and w.fn == df.loc["micro"].fn
+
+    # skewed support separates weighted from macro: PER support 2 (both
+    # matched), LOC support 1 (missed)
+    import ray
+
+    gold = ray.data.from_arrow(pa.table({
+        "url": ["u", "u", "u"], "para_idx": [0, 0, 0],
+        "start": [0, 10, 20], "end": [4, 14, 24],
+        "label": ["PER", "PER", "LOC"],
+    }))
+    pred = ray.data.from_arrow(pa.table({
+        "url": ["u", "u"], "para_idx": [0, 0],
+        "start": [0, 10], "end": [4, 14], "label": ["PER", "PER"],
+    }))
+    from portuguese_pt_legal_ner_ray.stages.evalx import span_eval as se
+
+    df2 = se(pred, gold).set_index("label")
+    assert abs(df2.loc["macro"].f1 - 0.5) < 1e-9        # (1 + 0) / 2
+    assert abs(df2.loc["weighted"].f1 - 2 / 3) < 1e-9   # (1*2 + 0*1) / 3
+
+
+def test_token_confusion_o_inclusive(ray_session):
+    """Token-level confusion flattens ALL positions including O (reference
+    src/training.py:196-208): mislabels land off-diagonal, one-sided spans
+    count against O, uncovered tokens land in the O/O cell."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.evalx import token_confusion
+
+    text = "Ana Maria mora em Lisboa hoje."
+    paras = ray.data.from_arrow(pa.table({"para_text": [text]}))
+    gold = ray.data.from_arrow(pa.table({
+        "url": ["u1", "u1"], "para_idx": [0, 0],
+        "start": [0, 18], "end": [9, 24],
+        "label": ["PER", "LOC"], "surface": ["Ana Maria", "Lisboa"],
+    }))
+    pred = ray.data.from_arrow(pa.table({
+        "url": ["u1", "u1", "u1"], "para_idx": [0, 0, 0],
+        "start": [0, 18, 25], "end": [9, 24, 29],
+        "label": ["PER", "ORG", "DAT"],
+        "surface": ["Ana Maria", "Lisboa", "hoje"],
+    }))
+    cm = token_confusion(pred, gold, paras)
+    cells = {(r.gold_tag, r.pred_tag): r.n for r in cm.itertuples(index=False)}
+    assert cells == {
+        ("B-PER", "B-PER"): 1, ("I-PER", "I-PER"): 1,
+        ("B-LOC", "B-ORG"): 1, ("O", "B-DAT"): 1,
+        ("O", "O"): 3,  # "mora", "em", "." -- 7 tokens total, 4 covered
+    }
+    assert list(cm["gold_tag"]) == sorted(cm["gold_tag"])  # deterministic axes
+
+
 # -- YAML config round-trip (S8) ---------------------------------------------
 
 def test_config_yaml_roundtrip(tmp_path):

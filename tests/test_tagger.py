@@ -156,3 +156,109 @@ def test_prefilter_is_superset_of_matchability():
             assert t.tag_paragraph(p) == [], p
             checked_skips += 1
     assert checked_skips > 50  # the gate actually fires on real fillers
+
+
+def test_hf_tagger_glue_with_stubbed_transformers(monkeypatch):
+    """The HFTagger HF glue — tokenizer with return_offsets_mapping, padded
+    batched forward, softmax/argmax, shared simple decode + filters
+    (reference src/inference.py:65-96, 185-216) — must produce the same
+    spans as LogitsTagger on the golden example, proven with a stubbed
+    ``transformers`` module (subword tokenizer + logits model derived from
+    the gazetteer truth; no torch/network needed)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from portuguese_pt_legal_ner_ray.config import BIO_LABELS, LABEL_TO_ID
+    from portuguese_pt_legal_ner_ray.functions.tagger import LogitsTagger
+
+    ref = RegexGazetteerTagger()
+    state: dict = {}
+    K = len(BIO_LABELS)
+
+    class StubTokenizer:
+        @classmethod
+        def from_pretrained(cls, path):
+            return cls()
+
+        def __call__(self, texts, return_offsets_mapping=True, truncation=True,
+                     max_length=512, padding=True, return_tensors=None):
+            per = []
+            for t in texts:
+                offs = [(0, 0)]  # [CLS]
+                for s, e in tokenize_with_offsets(t):
+                    for cs in range(s, e, 4):  # fixed-width subword chunks
+                        offs.append((cs, min(cs + 4, e)))
+                offs = offs[: max_length - 1]
+                offs.append((0, 0))  # [SEP]
+                per.append(offs)
+            lmax = max(len(o) for o in per)
+            offsets = np.zeros((len(per), lmax, 2), dtype=np.int64)
+            attn = np.zeros((len(per), lmax), dtype=np.int64)
+            for i, o in enumerate(per):
+                offsets[i, : len(o)] = o
+                attn[i, : len(o)] = 1
+            state["texts"], state["offsets"], state["attn"] = texts, offsets, attn
+            return dict(input_ids=np.zeros_like(attn), attention_mask=attn,
+                        offset_mapping=offsets)
+
+    class StubModel:
+        config = types.SimpleNamespace(
+            id2label={i: lab for i, lab in enumerate(BIO_LABELS)})
+
+        @classmethod
+        def from_pretrained(cls, path):
+            return cls()
+
+        def eval(self):
+            return self
+
+        def __call__(self, input_ids=None, attention_mask=None, **kw):
+            texts, offsets, attn = state["texts"], state["offsets"], state["attn"]
+            logits = np.zeros((len(texts), offsets.shape[1], K))
+            for i, t in enumerate(texts):
+                woffs = tokenize_with_offsets(t)
+                tags, scores = ref._token_tags(t, woffs)
+                for j in range(offsets.shape[1]):
+                    cs, ce = offsets[i, j]
+                    if attn[i, j] == 0 or cs == ce:
+                        continue  # special/pad: HFTagger must drop these
+                    for (ws, we), tag, sc in zip(woffs, tags, scores):
+                        if ws <= cs and ce <= we:
+                            if tag == "O":
+                                tg, p = "O", 0.97
+                            elif cs == ws:  # word's first subword keeps B-/I-
+                                tg, p = tag, sc
+                            else:  # continuation subword
+                                tg, p = "I-" + tag.split("-", 1)[1], sc
+                            p = min(max(p, 1e-6), 1 - 1e-6)
+                            logits[i, j, LABEL_TO_ID[tg]] = np.log(
+                                (K - 1) * p / (1 - p))
+                            break
+            return types.SimpleNamespace(logits=logits)
+
+    mod = types.ModuleType("transformers")
+    mod.AutoTokenizer = StubTokenizer
+    mod.AutoModelForTokenClassification = StubModel
+    monkeypatch.setitem(sys.modules, "transformers", mod)
+
+    from portuguese_pt_legal_ner_ray.functions.tagger import HFTagger
+
+    hf = HFTagger("/fake/checkpoint")
+    texts = [
+        "O réu João Silva foi notificado em Lisboa, em 12/02/1990.",
+        "Nada a assinalar aqui.",
+        "Contacto: joao@mail.pt e CEP 1000-001 do Tribunal da Relação.",
+    ]
+    want = LogitsTagger().tag_batch(texts)
+    got = hf.tag_batch(texts)
+    for w_spans, g_spans in zip(want, got):
+        assert ({(s.start, s.end, s.label) for s in w_spans}
+                == {(s.start, s.end, s.label) for s in g_spans})
+    # golden example exact check (INFERENCE_README.md:74)
+    g0 = {(s.start, s.end, s.label) for s in got[0]}
+    assert (6, 16, "PER") in g0 and (35, 41, "LOC") in g0
+    # single-paragraph API goes through the same path
+    assert ({(s.start, s.end, s.label) for s in hf.tag_paragraph(texts[0])}
+            == g0)
