@@ -88,9 +88,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_media_table,
     )
 
+    from portuguese_pt_legal_ner_ray.sources.parquet import sized_read_parquet
+
     def _docs(sf_dir: str):
-        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                     columns=["doc_id", "text"])
+        # byte-budgeted block count: the doc ops downstream are shuffle-bound
+        # (dedup joins, groupbys) and the default read over-splits this table
+        return sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+
+    def _events(sf_dir: str):
+        return sized_read_parquet(f"{sf_dir}/events.parquet")
 
     def _graph_tbl(name: str):
         def fn(sf_dir: str):
@@ -204,7 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lang_histogram(sf_dir: str):
         import pyarrow as pa
 
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
         return ds.groupby("lang").count().map_batches(
             lambda t: pa.table({"lang": t["lang"], "n": t["count()"]}),
             batch_format="pyarrow",
@@ -275,22 +282,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Distributed exact quantiles (value-histogram shuffle)."""
         from portuguese_pt_legal_ner_ray.stages.sketches import histogram_quantiles
 
-        orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                       columns=["o_totalprice"])
+        orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                     columns=["o_totalprice"])
         return histogram_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9])
 
     def events_heavy_hitters(sf_dir: str):
         """Count-min heavy hitters; width >> cardinality -> exact, SQL-checkable."""
         from portuguese_pt_legal_ner_ray.stages.sketches import heavy_hitters
 
-        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        ev = sized_read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
         return heavy_hitters(ev, "event_type", k=10, width=4096)
 
     def events_tumbling_hour(sf_dir: str):
-        return tumbling_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+        return tumbling_window(_events(sf_dir))
 
     def events_sessionize(sf_dir: str):
-        return sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+        return sessionize(_events(sf_dir))
 
     def media_decode(sf_dir: str):
         path = ensure_media_table(500)
@@ -388,12 +395,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_sliding_hour(sf_dir: str):
         from portuguese_pt_legal_ner_ray.stages.windows import sliding_window
 
-        return sliding_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+        return sliding_window(_events(sf_dir))
 
     def events_asof_purchase(sf_dir: str):
         from portuguese_pt_legal_ner_ray.stages.windows import asof_last_event
 
-        return asof_last_event(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+        return asof_last_event(_events(sf_dir))
 
     def media_resize(sf_dir: str):
         from portuguese_pt_legal_ner_ray.sources.multimodal import resize_metadata

@@ -21,7 +21,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..config import LinkingConfig
-from ..functions.minhash import MinHasher, jaccard, shingles
+from ..functions.minhash import MinHasher
 
 
 def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id",
@@ -105,13 +105,6 @@ def dedup_apply(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-# per-worker-process shingle memo for the LSH verify stage, keyed by
-# shingle_k then by the md5 digest of the text (content-addressed: doc ids
-# are not unique across corpora sharing a warm worker, and caching the full
-# text would hold ~50k documents of raw text per worker)
-_VERIFY_SHINGLES: dict[int, dict[bytes, set[int]]] = {}
-
-
 class MinhashBandStage:
     """doc -> one row per LSH band: (band, doc_id). Stateful hasher per actor."""
 
@@ -187,13 +180,18 @@ def minhash_lsh_pairs(
                     b.append(ids[j])
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
-    pairs = grouped_count(
-        bands.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow"),
-        ["id_a", "id_b"],
-    ).select_columns(["id_a", "id_b"])
+    raw_pairs = bands.groupby("__bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
     if verify_docs is None:
-        return pairs
+        # distinct-pairs contract for the unverified output
+        return grouped_count(raw_pairs, ["id_a", "id_b"]).select_columns(
+            ["id_a", "id_b"]
+        )
 
+    import numpy as np
+
+    from ..functions.minhash import _gram_hashes
     from .joins import hash_join
 
     # The semi-join is done BY the two inner hash_joins themselves: each
@@ -201,45 +199,67 @@ def minhash_lsh_pairs(
     # materialized on the driver and no candidate-id set is shipped into
     # tasks. (A driver collect of distinct candidate ids is O(corpus) on
     # heavily duplicated web corpora — 30-50% dup rates are normal — which
-    # made the previous is_in pre-filter a scale hazard.) The cost is one
-    # pass of the corpus text through each join's bucketed exchange — the
-    # same volume any repartition moves, streamed with backpressure.
+    # made the previous is_in pre-filter a scale hazard.)
+    #
+    # Shuffle-round economy — this path is exactly THREE all-to-all rounds
+    # (band->pair-gen, join a-side, join b-side):
+    # * each doc's SORTED SHINGLE ARRAY is computed once per join side in
+    #   the (streamed, embarrassingly parallel) docs map and shipped as a
+    #   list<uint32> column — verifying from texts instead would recompute
+    #   every doc's shingles once per bucket it appears in (measured ~12x
+    #   the corpus at 64 buckets: it dominated the whole op's CPU);
+    # * duplicate candidates (a pair surfacing from k>1 bands) co-locate in
+    #   join 1 — its bucket hashes id_a, so every copy of (a, b) lands in
+    #   one bucket — and are dropped there (``bucket_post`` drop_duplicates),
+    #   making the output distinct WITHOUT a dedicated dedup round;
+    # * the Jaccard verify is FUSED into join 2's bucket UDF (sorted-array
+    #   ``np.intersect1d`` per pair), so the widest intermediate (pair +
+    #   both shingle arrays) never leaves the stage that built it.
     def _as(side: str):
         def f(t: pa.Table) -> pa.Table:
-            return pa.table({f"id_{side}": t["doc_id"], f"text_{side}": t[text_col]})
+            sh_arrays = [
+                np.unique(_gram_hashes(x.lower(), cfg.shingle_k))
+                for x in t[text_col].to_pylist()
+            ]
+            return pa.table({
+                f"id_{side}": t["doc_id"],
+                f"sh_{side}": pa.array(sh_arrays, pa.list_(pa.uint32())),
+            })
 
         return f
 
     docs_a = verify_docs.map_batches(_as("a"), batch_format="pyarrow")
     docs_b = verify_docs.map_batches(_as("b"), batch_format="pyarrow")
-    with_a = hash_join(pairs, docs_a, key="id_a")
-    with_b = hash_join(with_a, docs_b, key="id_b")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        # warm-task shingle memo: a candidate doc appears in many pairs, so
-        # its shingle set is built once per worker process, not once per
-        # pair; the module-global cache is bounded (cleared at 50k entries)
-        cache = _VERIFY_SHINGLES.setdefault(cfg.shingle_k, {})
+    # explicit schema: an empty bucket's from_pandas would otherwise infer
+    # null-typed columns and break block-schema agreement
+    j1_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                           ("sh_a", pa.list_(pa.uint32()))])
 
-        import hashlib
+    def dedup_bucket(df: "pd.DataFrame") -> pa.Table:
+        out = df.drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(
+            out, schema=j1_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
-        def sh(text: str) -> set[int]:
-            key = hashlib.md5(text.encode()).digest()
-            s = cache.get(key)
-            if s is None:
-                if len(cache) > 50_000:
-                    cache.clear()
-                s = cache[key] = shingles(text.lower(), cfg.shingle_k)
-            return s
+    with_a = hash_join(raw_pairs, docs_a, key="id_a", bucket_post=dedup_bucket)
 
-        keep = [
-            jaccard(sh(ta), sh(tb)) >= threshold
-            for ta, tb in zip(batch["text_a"].to_pylist(),
-                              batch["text_b"].to_pylist())
-        ]
-        return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
+    def verify_bucket(df: "pd.DataFrame") -> pa.Table:
+        keep = []
+        for sa, sb in zip(df["sh_a"], df["sh_b"]):
+            na, nb = len(sa), len(sb)
+            if na == 0 or nb == 0:
+                keep.append(na == nb)  # both empty: Jaccard 1 by convention
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            keep.append(inter / (na + nb - inter) >= threshold)
+        out = df.loc[keep, ["id_a", "id_b"]]
+        return pa.table({
+            "id_a": pa.array(out["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(out["id_b"].to_numpy(), pa.int64()),
+        })
 
-    return with_b.map_batches(verify, batch_format="pyarrow")
+    return hash_join(with_a, docs_b, key="id_b", bucket_post=verify_bucket)
 
 
 def _char_pool() -> tuple[int, int]:

@@ -119,7 +119,7 @@ class BroadcastLookup:
         return batch
 
 
-def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64):
+def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64, bucket_post=None):
     """Inner equi-join of two Datasets on ``key`` via a bucketed hash shuffle.
 
     Used when neither side fits a broadcast (e.g. canonical-id application at
@@ -130,6 +130,13 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64):
     slice per key, which dominated profiles at ~100k keys). Payload
     (non-key) column names must be disjoint. Both sides are reindexed to one
     shared schema before the union so every block agrees on layout.
+
+    ``bucket_post``: optional ``pd.DataFrame -> pa.Table`` applied to each
+    bucket's merged frame INSIDE the join stage — fuses a post-join
+    transform (filter/projection) so wide joined payloads (e.g. both texts
+    of a candidate pair) are consumed where they were joined instead of
+    being re-blocked and shipped to a separate stage. The callback owns the
+    output schema (emit a metadata-free table, see join_bucket).
     """
     def _fields(ds):
         sch = ds.schema()
@@ -194,6 +201,8 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64):
         left = g.filter(pc.equal(g["__src"], 0)).select([key, *a_cols]).to_pandas()
         right = g.filter(pc.equal(g["__src"], 1)).select([key, *b_cols]).to_pandas()
         merged = left.merge(right, on=key, how="inner")
+        if bucket_post is not None:
+            return bucket_post(merged)
         # explicit schema so empty groups still emit typed Arrow blocks;
         # strip the b'pandas' schema metadata from_pandas attaches — it is a
         # plain (unhashable) dict on this pyarrow, which defeats Ray's
