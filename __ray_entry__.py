@@ -195,6 +195,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # texts — no driver materialization, no whole-corpus broadcast
         return minhash_lsh_pairs(docs, threshold=0.5, verify_docs=docs)
 
+    def near_dup_ngram(sf_dir: str):
+        """Exact word-trigram Jaccard pairs via the distributed
+        gram-inverted index (2 shuffle rounds)."""
+        from portuguese_pt_legal_ner_ray.stages.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.4, n=3)
+
     def docs_top10_longest(sf_dir: str):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -441,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "near_dup_char_jaccard": near_dup_char_jaccard,
         "near_dup_minhash": near_dup_minhash,
+        "near_dup_ngram": near_dup_ngram,
         "near_dup_embedding": near_dup_embedding,
         "near_dup_embedding_ivf": near_dup_embedding_ivf,
         "docs_approx_distinct": docs_approx_distinct,
@@ -556,6 +564,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard(a.text, b.text) >= 0.95""",
         "docs_top10_longest": """SELECT doc_id, length(text) AS n_chars FROM documents
                                  ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        # word-trigram Jaccard: tokens = \S+ runs of lower(text) (the RE2
+        # equivalent of Python str.split), distinct 3-gram sets per doc,
+        # |A n B| by gram self-join, Jaccard from set sizes
+        "near_dup_ngram": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(w) AS tok,
+                         generate_subscripts(w, 1) AS i FROM t),
+            g AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+                  FROM u a
+                  JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                  JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+            gd AS (SELECT DISTINCT doc_id, gram FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS ni
+                      FROM gd x JOIN gd y ON x.gram = y.gram
+                                         AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b FROM inter
+            JOIN sz a ON a.doc_id = ia
+            JOIN sz b ON b.doc_id = ib
+            WHERE CAST(ni AS DOUBLE) / (a.n + b.n - ni) >= 0.4""",
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "docs_approx_distinct": """
             SELECT CAST(count(DISTINCT text) AS DOUBLE) AS n_distinct FROM documents""",

@@ -410,16 +410,17 @@ def export_predictions_jsonl(out_dir: str | Path, jsonl_dir: str | Path) -> int:
 
     def to_records(batch: pa.Table):
         import pandas as pd
-        import pyarrow.compute as pc
 
         lists = batch["spans"].combine_chunks()
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         flat = lists.flatten()
-        per_row: list[list[list]] = [[] for _ in range(len(batch))]
-        for p, s, e, l in zip(parent, flat.field("start").to_pylist(),
-                              flat.field("end").to_pylist(),
-                              flat.field("label").to_pylist()):
-            per_row[p].append([s, e, l])  # [start, end, "LABEL"] triplets
+        # columnar pulls + one zip: [start, end, "LABEL"] triplets in flat
+        # span order, then sliced back to rows via the list offsets
+        trips = [list(t) for t in zip(flat.field("start").to_pylist(),
+                                      flat.field("end").to_pylist(),
+                                      flat.field("label").to_pylist())]
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # flatten() re-bases a sliced array's values
+        per_row = [trips[offs[i]:offs[i + 1]] for i in range(len(batch))]
         return pd.DataFrame({"text": batch["para_text"].to_pylist(),
                              "labels": per_row})
 

@@ -262,6 +262,115 @@ def minhash_lsh_pairs(
     return hash_join(with_a, docs_b, key="id_b", bucket_post=verify_bucket)
 
 
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int = 4096,
+) -> Dataset:
+    """EXACT word-n-gram Jaccard near-dup pairs via a distributed
+    gram-inverted index — two all-to-all rounds, no driver materialization.
+
+    1. Each doc maps to its DISTINCT lowercased word n-grams (plain
+       ``str.split`` tokens — process-stable, unlike pyarrow's whitespace
+       split), one ``(gram, doc_id, doc_gram_count)`` row per gram,
+       bucket-routed by gram hash.
+    2. Per gram (vectorized upper-triangle per group, one Python loop
+       iteration per DISTINCT gram in the bucket): emit every co-occurring
+       doc pair, both docs' set sizes riding along.
+    3. One ``grouped_agg`` per pair: the pair's row count IS ``|A∩B|``
+       (each shared gram lives in exactly one bucket and emits the pair
+       once); keep pairs with ``ni / (na + nb - ni) >= threshold``.
+
+    Exactness caveat: grams with document frequency > ``max_gram_df`` are
+    excluded from pair generation (the stopword-gram guard that bounds the
+    per-gram quadratic emission at corpus scale). Shared grams above the
+    cap then under-count the intersection — at the oracle scales the cap is
+    never reached (max trigram df is ~25 at sf0.1), so SQL parity is exact.
+    Docs with fewer than ``n`` tokens have no grams and never pair (the SQL
+    oracle agrees by construction).
+    """
+    import numpy as np
+
+    from .shuffle import bucket_by, grouped_agg
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        grams, ids, sizes = [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(),
+                                batch[text_col].to_pylist()):
+            w = text.lower().split()
+            gs = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+            grams.extend(gs)
+            ids.extend([doc_id] * len(gs))
+            sizes.extend([len(gs)] * len(gs))
+        t = pa.table({
+            "gram": pa.array(grams, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "sz": pa.array(sizes, pa.int64()),
+        })
+        return bucket_by(t, ["gram"])
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "gram": group["gram"].to_pandas(),
+            "id": group[id_col].to_pandas(),
+            "sz": group["sz"].to_pandas(),
+        })
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for _, g in df.groupby("gram", sort=False):
+            if len(g) < 2 or len(g) > max_gram_df:
+                continue
+            order = np.argsort(g["id"].to_numpy())
+            ids = g["id"].to_numpy()[order]
+            sz = g["sz"].to_numpy()[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
+            na_out.append(sz[iu])
+            nb_out.append(sz[ju])
+        if not a_out:
+            return pa.table({
+                "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            })
+        cat = np.concatenate
+        k = len(cat(a_out))
+        return pa.table({
+            "id_a": pa.array(cat(a_out), pa.int64()),
+            "id_b": pa.array(cat(b_out), pa.int64()),
+            "na": pa.array(cat(na_out), pa.int64()),
+            "nb": pa.array(cat(nb_out), pa.int64()),
+            "one": pa.array(np.ones(k, dtype=np.int64)),
+        })
+
+    pair_stats = grouped_agg(
+        docs.select_columns([id_col, text_col])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["id_a", "id_b"],
+        {"ni": ("one", "sum"), "na": ("na", "max"), "nb": ("nb", "max")},
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        ni = t["ni"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        mask = ni / (na + nb - ni) >= threshold
+        return t.filter(pa.array(mask)).select(["id_a", "id_b"])
+
+    return pair_stats.map_batches(keep, batch_format="pyarrow")
+    """CPU-scaled actor-pool bounds (see stages/similarity._pool_size)."""
+    import ray
+
+    return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+
 def _char_pool() -> tuple[int, int]:
     """CPU-scaled actor-pool bounds (see stages/similarity._pool_size)."""
     import ray

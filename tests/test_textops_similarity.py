@@ -76,6 +76,43 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p for p in found)
 
 
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Distributed gram-inverted-index pairs == brute-force word-trigram
+    Jaccard, at two partitionings (intersection counts must be exact)."""
+    import itertools
+
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "o tribunal da relacao confirmou a sentenca do processo em lisboa",
+        "o tribunal da relacao confirmou a sentenca do processo no porto",
+        "o tribunal da relacao negou o recurso do processo em lisboa",
+        "um texto completamente diferente sem qualquer relacao com os outros",
+        "curto",  # < n tokens: no grams, never pairs
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    def grams(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        A, B = grams(texts[a]), grams(texts[b])
+        if A and B:
+            inter = len(A & B)
+            if inter / (len(A) + len(B) - inter) >= 0.3:
+                want.add((a, b))
+    assert want  # the fixture must actually contain near-dups
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == want
+
+
 def test_minhash_verify_no_driver_collect(docs, monkeypatch):
     """The join-based verify must never materialize pairs or candidate ids
     on the driver (O(corpus) on dup-heavy web corpora): poison the
