@@ -415,6 +415,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path = ensure_media_table(500)
         return resize_metadata(decode_images(ray.data.read_parquet(str(path))))
 
+    def media_audio_decode(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.sources.multimodal import decode_audio
+
+        path = ensure_media_table(500)
+        return decode_audio(ray.data.read_parquet(str(path)))
+
+    def media_audio_resample(sf_dir: str):
+        from portuguese_pt_legal_ner_ray.sources.multimodal import (
+            decode_audio,
+            resample_plan,
+        )
+
+        path = ensure_media_table(500)
+        return resample_plan(decode_audio(ray.data.read_parquet(str(path))))
+
     def kg_confusion(sf_dir: str):
         from portuguese_pt_legal_ner_ray.stages.evalx import confusion_matrix
 
@@ -480,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_hour": events_sliding_hour,
         "events_asof_purchase": events_asof_purchase,
         "media_resize": media_resize,
+        "media_audio_decode": media_audio_decode,
+        "media_audio_resample": media_audio_resample,
     }
 
 
@@ -775,4 +792,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN greatest(w, h) <= 256 THEN h
                         ELSE h * 256 // greatest(w, h) END AS BIGINT) AS new_height
             FROM d""",
+        "media_audio_decode": f"""
+            SELECT doc_id,
+                   CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sample_rate,
+                   CAST(1000 + doc_id * 13 % 8000 AS BIGINT) AS n_samples,
+                   CAST((1000 + doc_id * 13 % 8000) * 1000
+                        // (8000 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   TRUE AS decode_ok
+            FROM read_parquet('{media}') WHERE kind = 'audio'""",
+        "media_audio_resample": f"""
+            SELECT doc_id, CAST(16000 AS BIGINT) AS target_rate,
+                   CAST((1000 + doc_id * 13 % 8000) * 16000
+                        // (8000 * (1 + doc_id % 5)) AS BIGINT) AS out_samples
+            FROM read_parquet('{media}') WHERE kind = 'audio'""",
     }

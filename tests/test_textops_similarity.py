@@ -365,3 +365,29 @@ def test_kmeans_centroids_cluster_recovery(ray_session):
     assert ((cn @ km.T).max(axis=1) > 0.9).all()
     km2 = kmeans_centroids(vecs.repartition(13), 4, iters=4)
     assert np.allclose(km, km2, atol=1e-12)
+
+
+def test_multimodal_audio_decode(ray_session, tmp_path):
+    """Audio branch mirrors the image plumbing: kind filter, actor-pool
+    header decode, integer resample plan."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.sources.multimodal import (
+        decode_audio,
+        ensure_media_table,
+        resample_plan,
+    )
+
+    path = ensure_media_table(60, root=str(tmp_path))
+    media = ray.data.read_parquet(str(path))
+    dec = decode_audio(media).to_pandas().set_index("doc_id")
+    assert len(dec) == 20  # every third row is audio
+    for doc_id, row in dec.iterrows():
+        assert row["sample_rate"] == 8000 * (1 + doc_id % 5)
+        assert row["n_samples"] == 1000 + doc_id * 13 % 8000
+        assert row["duration_ms"] == row["n_samples"] * 1000 // row["sample_rate"]
+        assert bool(row["decode_ok"])
+    rs = resample_plan(decode_audio(media)).to_pandas().set_index("doc_id")
+    for doc_id, row in rs.iterrows():
+        want = (1000 + doc_id * 13 % 8000) * 16000 // (8000 * (1 + doc_id % 5))
+        assert row["out_samples"] == want
