@@ -61,12 +61,15 @@ def make_canonize(mapping_ref):
     The broadcast mapping is fetched lazily via ``ray.get`` inside the task
     (zero-copy from the node-local object store — one transfer per node, not
     per batch). Normalization (unicode NFKD) dominated this stage's profile;
-    surfaces repeat heavily, so a memo cache makes the hot path a dict
-    lookup.
+    surfaces repeat HEAVILY, so each column is Arrow dictionary-encoded and
+    the key/lookup runs once per DISTINCT (label, surface) of the batch
+    (memoized across batches per worker) — the per-row work is a vectorized
+    ``take``, no Python in the row loop.
     """
     state: dict = {}
 
     def canonize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         import ray as _ray
 
         mapping = state.get("m")
@@ -75,23 +78,30 @@ def make_canonize(mapping_ref):
             state["cache"] = {}
         cache = state["cache"]
 
-        def _id(label: str, surface: str) -> str:
-            k = cache.get((label, surface))
+        def _id(joined_key: str) -> str:
+            k = cache.get(joined_key)
             if k is None:
+                label, surface = joined_key.split("\x00", 1)
                 ek = entity_key(label, surface)
-                k = mapping.get(ek, ek)
-                cache[(label, surface)] = k
+                k = cache[joined_key] = mapping.get(ek, ek)
             return k
 
-        subj = batch["subj"].to_pylist()
-        objv = batch["obj"].to_pylist()
-        sl = batch["subj_label"].to_pylist()
-        ol = batch["obj_label"].to_pylist()
+        def col_ids(labels, surfaces) -> pa.Array:
+            joined = pc.binary_join_element_wise(
+                labels.combine_chunks() if isinstance(labels, pa.ChunkedArray) else labels,
+                surfaces.combine_chunks() if isinstance(surfaces, pa.ChunkedArray) else surfaces,
+                "\x00",
+            )
+            enc = joined.dictionary_encode()
+            mapped = pa.array([_id(u) for u in enc.dictionary.to_pylist()],
+                              pa.string())
+            return pc.take(mapped, enc.indices)
+
         return pa.table(
             {
-                "subj_id": pa.array([_id(l, s) for l, s in zip(sl, subj)], pa.string()),
+                "subj_id": col_ids(batch["subj_label"], batch["subj"]),
                 "pred": batch["pred"],
-                "obj_id": pa.array([_id(l, s) for l, s in zip(ol, objv)], pa.string()),
+                "obj_id": col_ids(batch["obj_label"], batch["obj"]),
             }
         )
 
