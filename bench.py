@@ -130,19 +130,37 @@ def _burn(seconds: float) -> int:
     return x
 
 
-def _cpu_capacity(n: int, seconds: float = 2.0) -> float:
-    """Raw attainable CPU throughput with n busy workers (Miters/s).
+def _burn_stream(seconds: float) -> int:
+    """Memory-STREAMING kernel (pre-allocated 64 MB in/out buffers): the
+    bandwidth-bound ceiling, complementing the L1-resident ``_burn``."""
+    import numpy as np
 
-    On this VM per-core frequency drops as more cores load up (shared/burst
-    host), so N->4N CPU capacity is sub-linear even for embarrassingly
-    parallel work — measured and reported so the pipeline's scaling can be
-    read against the hardware ceiling. Real cluster nodes hold per-node
-    capacity constant.
+    a = np.random.default_rng(0).integers(0, 255, 8_000_000, dtype=np.uint8)
+    out = np.empty(8_000_000, dtype=np.uint64)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.multiply(a, np.uint64(1099511628211), out=out, casting="unsafe")
+        n += 1
+    return n
+
+
+def _capacity(fn, n: int, seconds: float = 2.0, scale: float = 1.0) -> float:
+    """Total throughput of ``fn`` with n busy workers.
+
+    On this VM per-core capacity drops as more cores load up (shared/burst
+    host) — and MEMORY-bound work saturates far earlier than compute-bound
+    work (measured 4->16 workers: ~3.9x for the compute kernel vs ~1.75x
+    for the streaming kernel; the pipeline, Arrow batch work, lands in
+    between). Both ceilings are reported so the pipeline's scaling can be
+    read against the hardware it actually ran on. Real cluster nodes add
+    per-node memory bandwidth with each node, so the streaming ceiling is a
+    single-box artifact, not a property of the engine.
     """
     import multiprocessing as mp
 
     with mp.Pool(n) as pool:
-        return round(sum(pool.map(_burn, [seconds] * n)) / seconds / 1e6, 1)
+        return round(sum(pool.map(fn, [seconds] * n)) / seconds / scale, 1)
 
 
 SCALING_LEGS = (4, 16)  # N and 4N workers, both within physical cores
@@ -158,7 +176,8 @@ def run_scaling(sf_dir: str) -> dict:
         env={**os.environ, "GRAFT_SF_DIR": sf_dir}, check=True,
     )
     lo, hi = SCALING_LEGS
-    capacity = {n: _cpu_capacity(n) for n in SCALING_LEGS}
+    capacity = {n: _capacity(_burn, n, scale=1e6) for n in SCALING_LEGS}
+    stream = {n: _capacity(_burn_stream, n) for n in SCALING_LEGS}
     results = {}
     for cpus in SCALING_LEGS:
         proc = subprocess.run(
@@ -186,6 +205,9 @@ def run_scaling(sf_dir: str) -> dict:
         "cpu_capacity_miters": capacity,
         "hardware_capacity_ratio": round(cap_ratio, 2),
         "efficiency_vs_capacity": round(speedup / cap_ratio, 3),
+        "stream_capacity_passes": stream,
+        "stream_capacity_ratio": round(stream[hi] / stream[lo], 2),
+        "efficiency_vs_stream": round(speedup / (stream[hi] / stream[lo]), 3),
         "sf": results[hi]["sf"],
         "bench_pages": results[hi]["bench_pages"],
         "num_cpus": hi,
