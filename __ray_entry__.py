@@ -90,11 +90,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from portuguese_pt_legal_ner_ray.sources.parquet import sized_read_parquet
 
-    def _docs(sf_dir: str):
+    def _docs(sf_dir: str, wide: bool = False):
         # byte-budgeted block count: the doc ops downstream are shuffle-bound
-        # (dedup joins, groupbys) and the default read over-splits this table
+        # (dedup joins, groupbys) and the default read over-splits this
+        # table. ``wide=True`` floors blocks at the CPU count instead — for
+        # COMPUTE-heavy map-only consumers (simhash's per-token reduce, the
+        # O(n²) char-jaccard scan), where map parallelism beats low shuffle
+        # overhead (doc_simhash measured 0.8 s at 64 blocks vs 2.2 s at 8).
+        min_blocks = 8
+        if wide:
+            min_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
         return sized_read_parquet(f"{sf_dir}/documents.parquet",
-                                  columns=["doc_id", "text"])
+                                  columns=["doc_id", "text"],
+                                  min_blocks=min_blocks)
 
     def _events(sf_dir: str):
         return sized_read_parquet(f"{sf_dir}/events.parquet")
@@ -181,13 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(textops.fingerprint_batch, batch_format="pyarrow")
 
     def doc_simhash(sf_dir: str):
-        return _docs(sf_dir).map_batches(textops.simhash_batch, batch_format="pyarrow")
+        return _docs(sf_dir, wide=True).map_batches(textops.simhash_batch,
+                                                    batch_format="pyarrow")
 
     def dedup_exact_docs(sf_dir: str):
         return exact_dedup(_docs(sf_dir))
 
     def near_dup_char_jaccard(sf_dir: str):
-        return char_jaccard_pairs(_docs(sf_dir), threshold=0.95)
+        return char_jaccard_pairs(_docs(sf_dir, wide=True), threshold=0.95)
 
     def near_dup_minhash(sf_dir: str):
         docs = _docs(sf_dir)

@@ -44,6 +44,10 @@ def tokenize_with_offsets(text: str) -> list[tuple[int, int]]:
     return [m.span() for m in _TOKEN_RE.finditer(text)]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 17)
 def surface_score(label: str, surface: str, weak: bool = False) -> float:
     """Deterministic pseudo-confidence, stable across processes (md5-based).
 
@@ -340,15 +344,43 @@ class RegexGazetteerTagger(Tagger):
         after truncating to ``max_length`` tokens (src/data.py:179-184
         ``truncation=True, max_length=512``) — entities whose tokens fall
         past the window are dropped, as a real checkpoint would.
+
+        Decode-equivalence shortcut (the NER hot path at bench scale):
+        every accepted regex match tags its covering tokens ``B- I- ... I-``
+        of one type, so ``decode_simple`` reconstructs EXACTLY one group
+        per match — span = (first covered token start, last covered token
+        end), score = the match's surface score. The span is therefore
+        emitted directly, skipping the per-token tag materialization and
+        BIO re-grouping; equivalence to the full logits → BIO → decode
+        chain is continuously checked by the LogitsTagger parity tests
+        (``FakeLogitsModel`` derives its logits from ``_token_tags`` and
+        decodes through ``decode_simple``). Output order is token order
+        (sorted by start), exactly as the decode emits it.
         """
+        from bisect import bisect_left, bisect_right
+
         offsets = tokenize_with_offsets(text)[: self.max_length]
         if not offsets:
             return []
-        tags, scores = self._token_tags(text, offsets)
-        out = []
-        for sp in self.decode_simple(offsets, tags, scores):
-            if sp.score >= self.threshold and 0 <= sp.start < sp.end <= len(text):
-                out.append(sp)
+        starts = [s for s, _ in offsets]
+        ends = [e for _, e in offsets]
+        taken = bytearray(len(offsets))
+        out: list[Span] = []
+        n = len(text)
+        for label, pat, weak in self.patterns:
+            for m in pat.finditer(text):
+                ms, me = m.span()
+                lo = bisect_right(ends, ms)
+                hi = bisect_left(starts, me)
+                if lo >= hi or 1 in taken[lo:hi]:
+                    continue  # earlier (higher-priority) match keeps tokens
+                for i in range(lo, hi):
+                    taken[i] = 1
+                sc = surface_score(label, m.group(), weak)
+                s, e = offsets[lo][0], offsets[hi - 1][1]
+                if sc >= self.threshold and 0 <= s < e <= n:
+                    out.append(Span(s, e, label, sc))
+        out.sort(key=lambda sp: sp.start)
         return out
 
 

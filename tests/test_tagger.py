@@ -262,3 +262,27 @@ def test_hf_tagger_glue_with_stubbed_transformers(monkeypatch):
     # single-paragraph API goes through the same path
     assert ({(s.start, s.end, s.label) for s in hf.tag_paragraph(texts[0])}
             == g0)
+
+
+def test_direct_span_path_equals_bio_decode_path():
+    """The regex tagger's direct span emission must equal the full
+    logits -> argmax -> BIO -> decode_simple chain on real corpus
+    paragraphs (LogitsTagger's FakeLogitsModel derives from _token_tags,
+    so it exercises the decode route end to end)."""
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.functions.tagger import LogitsTagger
+
+    direct = RegexGazetteerTagger()
+    decode = LogitsTagger()
+    pages = gen_pages_shard(0, 0, 150)
+    n_spans = 0
+    for text in pages["text"].to_pylist():
+        for para in (p.strip() for p in text.split("\n") if p.strip()):
+            a = direct.tag_paragraph(para)
+            b = decode.tag_paragraph(para)
+            assert [(s.start, s.end, s.label) for s in a] == \
+                   [(s.start, s.end, s.label) for s in b], para
+            for x, y in zip(a, b):
+                assert abs(x.score - y.score) < 1e-5
+            n_spans += len(a)
+    assert n_spans > 100  # the sample must actually exercise the tagger
