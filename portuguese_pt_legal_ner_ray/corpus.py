@@ -189,37 +189,31 @@ def atomic_publish(tmp: Path, final: Path) -> None:
     retried. Any other failure raises — a partial cache is never silently
     served.
 
-    Debris removal is guarded by an exclusive ``flock`` on a sibling lock
-    file so the check-marker-then-delete sequence is atomic against other
-    publishers: without it, a winner could publish a VALID dir between our
-    ``_DONE`` check and ``rmtree(final)``, and readers that already saw the
-    marker would observe the published dir disappearing mid-read. Lock-free
-    fast-path publishers can't recreate that window — ``os.replace`` onto a
-    non-empty dir fails, so nobody publishes over existing debris.
+    EVERY publish path holds an exclusive ``flock`` on a sibling lock file,
+    so the check-marker / delete-debris / rename sequence is atomic against
+    other publishers: a lock-free fast path would re-open the race when the
+    debris is an EMPTY dir (``os.replace`` onto an empty dir succeeds), in
+    which a concurrent winner publishes a valid dir between our ``_DONE``
+    check and ``rmtree(final)`` — and readers that already saw the marker
+    would observe the published dir disappearing mid-read. Readers never
+    take the lock: a dir carrying ``_DONE`` is never deleted (the only
+    ``rmtree(final)`` happens under the lock after confirming the marker is
+    absent, and markers only appear under the same lock).
     """
-    import shutil
-
-    try:
-        os.replace(tmp, final)
-        return
-    except OSError:
-        pass
     import fcntl
+    import shutil
 
     lock_path = final.parent / f".{final.name}.publish.lock"
     with open(lock_path, "w") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         try:
-            if (final / "_DONE").exists():
+            if (final / "_DONE").exists():  # a winner already published
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
             shutil.rmtree(final, ignore_errors=True)  # crashed-run debris
             try:
                 os.replace(tmp, final)
             except OSError as exc:
-                if (final / "_DONE").exists():  # fast-path winner is valid
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    return
                 raise RuntimeError(f"could not publish cache dir {final}") from exc
         finally:
             fcntl.flock(lf, fcntl.LOCK_UN)

@@ -94,13 +94,18 @@ def _fmix64(x):
 def _word_id(word: str) -> int:
     """Deterministic hash vocab id (stand-in for a real WordPiece vocab).
 
-    Single-word form of the vectorized batch path (one ``hash_strings``
-    call over the whole batch's words in :func:`mlm_mask_batch`)."""
+    Single-word form of the vectorized batch path — routed through the
+    SAME ``pc.utf8_lower`` + ``hash_strings`` kernels as
+    :func:`mlm_mask_batch` (Python ``str.lower`` diverges from utf8proc on
+    full-case-mapping codepoints, so sharing the kernel is what keeps the
+    documented equivalence true). Test/debug helper; the batch path never
+    calls it."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..stages.shuffle import hash_strings
 
-    h = int(hash_strings(pa.array([word.lower()], pa.string()))[0])
+    h = int(hash_strings(pc.utf8_lower(pa.array([word], pa.string())))[0])
     return _SPECIAL_IDS + h % (VOCAB_SIZE - _SPECIAL_IDS)
 
 

@@ -365,17 +365,13 @@ def ngram_jaccard_pairs(
         return t.filter(pa.array(mask)).select(["id_a", "id_b"])
 
     return pair_stats.map_batches(keep, batch_format="pyarrow")
-    """CPU-scaled actor-pool bounds (see stages/similarity._pool_size)."""
-    import ray
-
-    return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
 
 
 def _char_pool() -> tuple[int, int]:
-    """CPU-scaled actor-pool bounds (see stages/similarity._pool_size)."""
-    import ray
+    """CPU-scaled actor-pool bounds — one shared policy definition."""
+    from .similarity import _pool_size
 
-    return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    return _pool_size()
 
 
 def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,

@@ -73,29 +73,38 @@ class BroadcastLookup:
         )
 
     @staticmethod
-    def _has_wrapping_keys(keys: pd.Series) -> bool:
-        """uint64 batch keys above int64 max would silently WRAP in the fast
-        path's ``to_numpy(dtype=int64)`` (pandas wraps, no error): a wrapped
-        key misses the mapping — or spuriously equals a negative mapping key
-        — and the identity fallback emits the wrapped negative value. Such
-        keys can never be in an all-int64-range mapping, so they are routed
-        to the exact object loop instead."""
+    def _is_uint64(keys: pd.Series) -> bool:
         arr = keys.to_numpy()
-        return (arr.dtype.kind == "u" and arr.dtype.itemsize == 8
-                and len(arr) > 0 and int(arr.max()) > np.iinfo(np.int64).max)
+        return arr.dtype.kind == "u" and arr.dtype.itemsize == 8
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[self.key_col]
         if (pd.api.types.is_integer_dtype(keys) and not keys.isna().any()
-                and self._has_wrapping_keys(keys)):
-            # exact loop: any float64/int64 round-trip corrupts these keys
+                and self._is_uint64(keys)):
+            # uint64-keyed batches ALWAYS take the exact loop and emit a
+            # uint64 column: the searchsorted fast path's to_numpy(int64)
+            # silently WRAPS keys above 2^63 (a wrapped key misses the
+            # mapping — or spuriously equals a negative mapping key — and
+            # the identity fallback emits the wrapped negative value), and
+            # deciding per batch would give wrapping and non-wrapping
+            # blocks of one Dataset different output dtypes (int64 vs
+            # uint64), breaking block-schema agreement downstream.
             m, d = self.mapping, self.default
-            batch[self.out_col] = [m.get(int(k), int(k) if d is None else d)
-                                   for k in keys]
+            vals = [m.get(int(k), int(k) if d is None else d) for k in keys]
+            if all(isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+                   for v in vals):
+                if any(int(v) < 0 for v in vals):
+                    raise ValueError(
+                        "BroadcastLookup: negative mapping/default values "
+                        "are not representable in the uint64 output column "
+                        "that uint64 keys require (mixed-sign output has "
+                        "no exact integer dtype)")
+                batch[self.out_col] = np.array(vals, dtype=np.uint64)
+            else:  # non-integer payload values: keep exact objects
+                batch[self.out_col] = vals
             return batch
         if (self._k_arr is not None and pd.api.types.is_integer_dtype(keys)
-                and not keys.isna().any()  # nullable Int64 NA -> map path
-                and not self._has_wrapping_keys(keys)):
+                and not keys.isna().any()):  # nullable Int64 NA -> map path
             kn = keys.to_numpy(dtype=np.int64)
             idx = np.clip(np.searchsorted(self._k_arr, kn), 0, len(self._k_arr) - 1)
             hit = self._k_arr[idx] == kn

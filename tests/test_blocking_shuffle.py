@@ -244,9 +244,19 @@ def test_broadcast_lookup_dtype_exactness(ray_session):
     # searchsorted fast path would WRAP them (pandas to_numpy(int64) wraps
     # silently); they must come back via the exact loop, not corrupted
     wrap_key = 2 ** 63 + 11
-    bl5 = BroadcastLookup(ray.put({1: 5, -(2 ** 63) + 11: 99}), "k", "o")
+    bl5 = BroadcastLookup(ray.put({1: 5}), "k", "o")
     out5 = bl5(pd.DataFrame({"k": np.array([wrap_key, 1], dtype=np.uint64)}))
-    assert out5["o"].tolist() == [wrap_key, 5]  # identity, NOT 99 / negative
+    assert out5["o"].tolist() == [wrap_key, 5]  # identity, NOT wrapped negative
+    assert str(out5["o"].dtype) == "uint64"
     bl6 = BroadcastLookup(ray.put({1: 5}), "k", "o", default=0)
     out6 = bl6(pd.DataFrame({"k": np.array([wrap_key, 1], dtype=np.uint64)}))
     assert out6["o"].tolist() == [0, 5]
+    # non-wrapping uint64 batches use the SAME path/dtype, so blocks of one
+    # Dataset can never disagree on the output column's schema
+    out6b = bl6(pd.DataFrame({"k": np.array([1, 2], dtype=np.uint64)}))
+    assert str(out6b["o"].dtype) == "uint64" and out6b["o"].tolist() == [5, 0]
+    # negative mapping values cannot live in a uint64 output column: loud
+    # error, never a silent wrap
+    bl7 = BroadcastLookup(ray.put({1: -9}), "k", "o", default=0)
+    with pytest.raises(ValueError, match="uint64"):
+        bl7(pd.DataFrame({"k": np.array([wrap_key, 1], dtype=np.uint64)}))
