@@ -234,8 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def ann_cosine_topk(sf_dir: str):
-        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                     columns=["vec_id", "embedding"])
+        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return brute_force_topk(vecs, qref, k=10)
 
@@ -253,8 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embedding_near_dup_pairs,
         )
 
-        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                     columns=["vec_id", "embedding"])
+        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
         return embedding_near_dup_pairs(vecs, threshold=0.4)
 
     def near_dup_embedding_ivf(sf_dir: str):
@@ -262,13 +262,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embedding_near_dup_pairs_ivf,
         )
 
-        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                     columns=["vec_id", "embedding"])
+        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
         return embedding_near_dup_pairs_ivf(vecs, threshold=0.4, n_cells=16)
 
     def ann_ivf_topk(sf_dir: str):
-        vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                     columns=["vec_id", "embedding"])
+        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4)
 
