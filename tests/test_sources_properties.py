@@ -106,3 +106,47 @@ def test_media_resize_and_frame_plan(ray_session, tmp_path):
     frames = frame_sample_plan(media).to_pandas()
     assert (frames["frame_offset"] >= 12).all()
     assert frames.groupby("doc_id").size().min() >= 1
+
+
+def test_sized_read_parquet_block_budget(ray_session, tmp_path):
+    """Block count follows input BYTES (floor min_blocks, cap max_blocks),
+    not the CPU-derived default that over-splits small tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from portuguese_pt_legal_ner_ray.sources.parquet import (
+        _input_bytes,
+        sized_read_parquet,
+    )
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"x": list(range(10_000))}), p)
+    size = p.stat().st_size
+    assert _input_bytes(str(p)) == size
+    assert _input_bytes([str(p), str(p)]) == 2 * size
+    assert _input_bytes(str(tmp_path)) == size  # directory walk
+    assert _input_bytes(str(tmp_path / "*.parquet")) == size  # glob
+
+    assert sized_read_parquet(str(p)).count() == 10_000
+
+    # capture the override_num_blocks the helper passes to the real read
+    import ray as _ray
+
+    seen = {}
+    real = _ray.data.read_parquet
+
+    def capture(paths, columns=None, override_num_blocks=None):
+        seen["n"] = override_num_blocks
+        return real(paths, columns=columns,
+                    override_num_blocks=override_num_blocks)
+
+    _ray.data.read_parquet, orig = capture, _ray.data.read_parquet
+    try:
+        sized_read_parquet(str(p), min_blocks=3)
+        assert seen["n"] == 3  # tiny file floors at min_blocks
+        sized_read_parquet(str(p), target_block_bytes=1024, max_blocks=5)
+        assert seen["n"] == 5  # byte budget exceeds the cap -> capped
+        sized_read_parquet(str(p), target_block_bytes=1024, min_blocks=1)
+        assert seen["n"] == -(-size // 1024)  # pure byte budget
+    finally:
+        _ray.data.read_parquet = orig

@@ -391,3 +391,37 @@ def test_multimodal_audio_decode(ray_session, tmp_path):
     for doc_id, row in rs.iterrows():
         want = (1000 + doc_id * 13 % 8000) * 16000 // (8000 * (1 + doc_id % 5))
         assert row["out_samples"] == want
+
+
+def test_ngram_jaccard_property_random_docs(ray_session):
+    """Property check: on random short word-soup docs the inverted-index
+    pairs equal brute force for several thresholds and n."""
+    import itertools
+
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    for n, thr in ((2, 0.2), (3, 0.1), (3, 0.5)):
+        def grams(t):
+            w = t.lower().split()
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        want = set()
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            A, B = grams(texts[a]), grams(texts[b])
+            if A and B:
+                inter = len(A & B)
+                if inter / (len(A) + len(B) - inter) >= thr:
+                    want.add((a, b))
+        got = ngram_jaccard_pairs(ds, threshold=thr, n=n).to_pandas()
+        got_pairs = (set(zip(got["id_a"], got["id_b"]))
+                     if "id_a" in got.columns else set())
+        assert got_pairs == want, (n, thr)
