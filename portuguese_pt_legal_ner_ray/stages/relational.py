@@ -25,14 +25,15 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from ..sources.parquet import sized_read_parquet
 from .joins import hash_join
 from .shuffle import grouped_count
 
 
 def customers_per_region(sf_dir: str) -> Dataset:
     """customer ⋈ nation ⋈ region (both dims broadcast) -> (r_name, n_customers)."""
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation = sized_read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = sized_read_parquet(f"{sf_dir}/region.parquet").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
 
@@ -40,7 +41,7 @@ def customers_per_region(sf_dir: str) -> Dataset:
         m = ray.get(lookup_ref)
         return pd.DataFrame({"r_name": batch["c_nationkey"].map(m)})
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    cust = sized_read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     return grouped_count(cust.map_batches(add_region, batch_format="pandas"),
                          ["r_name"], alias="n_customers")
 
@@ -51,19 +52,19 @@ def orders_per_nation(sf_dir: str) -> Dataset:
     The fact side is pre-aggregated to (custkey, count) BEFORE the join, so
     the shuffle moves one row per customer, not per order.
     """
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     per_cust = grouped_count(orders, ["o_custkey"], alias="n_orders").map_batches(
         lambda t: pa.table({"custkey": t["o_custkey"], "n_orders": t["n_orders"]}),
         batch_format="pyarrow",
     )
-    cust = ray.data.read_parquet(
+    cust = sized_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda t: pa.table({"custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}),
         batch_format="pyarrow",
     )
     joined = hash_join(per_cust, cust, key="custkey")
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = sized_read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def add_name(batch: pd.DataFrame) -> pd.DataFrame:
@@ -86,7 +87,7 @@ def lineitem_summary(sf_dir: str) -> Dataset:
     only (count/min/max — float SUMs are deliberately excluded from
     oracle-checked outputs because their value depends on reduction order).
     """
-    li = ray.data.read_parquet(
+    li = sized_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -118,7 +119,7 @@ def lineitem_summary(sf_dir: str) -> Dataset:
 
 def parts_per_brand(sf_dir: str) -> Dataset:
     """lineitem ⋈ part (dimension broadcast) -> (p_brand, n_lineitems)."""
-    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+    part = sized_read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_brand"]).to_pandas()
     brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
@@ -126,7 +127,7 @@ def parts_per_brand(sf_dir: str) -> Dataset:
         m = ray.get(brand_ref)
         return pd.DataFrame({"p_brand": batch["l_partkey"].map(m)})
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    li = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     return grouped_count(li.map_batches(add_brand, batch_format="pandas"),
                          ["p_brand"], alias="n_lineitems")
 
@@ -138,11 +139,11 @@ def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
     The fact-side shuffle moves one row per supplier, not per lineitem;
     both dimension tables ride the object store once.
     """
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    li = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
     per_supp = grouped_count(li, ["l_suppkey"], alias="n")
-    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+    supp = sized_read_parquet(f"{sf_dir}/supplier.parquet",
                                  columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = sized_read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     from .joins import BroadcastLookup, put_broadcast
 
     nk_ref = put_broadcast(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
@@ -165,7 +166,7 @@ def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
 def top_orders(sf_dir: str, k: int = 10) -> Dataset:
     """Global top-k by totalprice, orderkey tiebreak (sort + limit)."""
     return (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+        sized_read_parquet(f"{sf_dir}/orders.parquet",
                               columns=["o_orderkey", "o_totalprice"])
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(k)
@@ -175,7 +176,7 @@ def top_orders(sf_dir: str, k: int = 10) -> Dataset:
 def longest_doc_per_lang(sf_dir: str) -> Dataset:
     """Per-group top-1: (lang, doc_id, n_chars) of the longest doc per lang;
     ties break on the smaller doc_id (order-free)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang", "text"])
 
     def measure(batch: pa.Table) -> pa.Table:
@@ -260,7 +261,7 @@ def grouped_topk(ds: Dataset, group_cols: list[str], sort_col: str,
 
 def top_parts_per_brand(sf_dir: str, k: int = 3) -> Dataset:
     """Top-k parts by retail price per brand (grouped top-k combiner)."""
-    part = ray.data.read_parquet(
+    part = sized_read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_partkey"]
     )
     return grouped_topk(part, ["p_brand"], "p_retailprice", "p_partkey", k=k)
