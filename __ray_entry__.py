@@ -253,8 +253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embedding_near_dup_pairs,
         )
 
-        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
-                                  columns=["vec_id", "embedding"])
+        # the O(n^2) all-pairs scan is compute-bound per block: floor the
+        # block count at the CPU width (cf. _docs(wide=True))
+        vecs = sized_read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            min_blocks=max(8, int(ray.cluster_resources().get("CPU", 8))))
         return embedding_near_dup_pairs(vecs, threshold=0.4)
 
     def near_dup_embedding_ivf(sf_dir: str):

@@ -11,9 +11,10 @@ overheads to move kilobytes. Measured on the gate-scale near-dup pipeline
 per ``target_block_bytes`` of input, floored at ``min_blocks`` (resume/skew
 headroom) and capped at ``max_blocks``. At 100 TB the same rule produces
 thousands of blocks — it only changes behavior where the default
-over-splits. Use the plain ``ray.data.read_parquet`` when the per-row
-downstream compute is heavy enough to want one block per core on small
-inputs (e.g. brute-force embedding scans).
+over-splits. When the per-row downstream compute is heavy enough to want
+one block per core on small inputs (brute-force embedding scans, simhash),
+pass ``min_blocks=<cpu count>`` — see ``_docs(wide=True)`` and
+``near_dup_embedding`` in ``__ray_entry__.py``.
 """
 
 from __future__ import annotations

@@ -26,14 +26,23 @@ import ray
 from ray.data import Dataset
 
 from ..sources.parquet import sized_read_parquet
+
+
+def _dim_table(path: str):
+    """KB-sized dimension table -> pandas, read locally on the driver:
+    these are immediately driver-materialized for a broadcast, so a
+    distributed read would schedule Ray tasks to move kilobytes."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pandas()
 from .joins import hash_join
 from .shuffle import grouped_count
 
 
 def customers_per_region(sf_dir: str) -> Dataset:
     """customer ⋈ nation ⋈ region (both dims broadcast) -> (r_name, n_customers)."""
-    nation = sized_read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    region = sized_read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation = _dim_table(f"{sf_dir}/nation.parquet")
+    region = _dim_table(f"{sf_dir}/region.parquet")
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
 
@@ -64,7 +73,7 @@ def orders_per_nation(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
     joined = hash_join(per_cust, cust, key="custkey")
-    nation = sized_read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = _dim_table(f"{sf_dir}/nation.parquet")
     name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def add_name(batch: pd.DataFrame) -> pd.DataFrame:
@@ -143,7 +152,7 @@ def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
     per_supp = grouped_count(li, ["l_suppkey"], alias="n")
     supp = sized_read_parquet(f"{sf_dir}/supplier.parquet",
                                  columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    nation = sized_read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = _dim_table(f"{sf_dir}/nation.parquet")
     from .joins import BroadcastLookup, put_broadcast
 
     nk_ref = put_broadcast(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
