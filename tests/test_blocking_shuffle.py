@@ -260,3 +260,28 @@ def test_broadcast_lookup_dtype_exactness(ray_session):
     bl7 = BroadcastLookup(ray.put({1: -9}), "k", "o", default=0)
     with pytest.raises(ValueError, match="uint64"):
         bl7(pd.DataFrame({"k": np.array([wrap_key, 1], dtype=np.uint64)}))
+
+
+def test_heavy_hitters_warns_on_candidate_saturation(ray_session):
+    """A block with more distinct values than the per-block candidate
+    budget must surface a UserWarning (silent truncation would make an
+    incomplete top-k look complete); an unsaturated run must stay quiet."""
+    import warnings
+
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import heavy_hitters
+
+    big = pa.table({"v": pa.array([f"v{i}" for i in range(500)], pa.string())})
+    ds = ray.data.from_arrow(big).repartition(1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        heavy_hitters(ds, "v", k=5, width=16384)  # budget 4k=20 < 500 distinct
+    assert any("candidate budget" in str(x.message) for x in w)
+
+    small = pa.table({"v": pa.array(["a"] * 30 + ["b"] * 10, pa.string())})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = heavy_hitters(ray.data.from_arrow(small), "v", k=5, width=4096)
+    assert not any("candidate budget" in str(x.message) for x in w)
+    assert out.iloc[0]["v"] == "a" and out.iloc[0]["n"] == 30
