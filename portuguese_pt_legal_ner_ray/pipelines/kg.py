@@ -38,6 +38,7 @@ from ..stages.extract import (
     flatten_triples,
 )
 from ..stages.graph import build_edges, build_nodes
+from ..stages.shuffle import pool_size
 from ..stages.linking import BandStage, candidate_pairs, canonicalize, spans_to_mentions
 from ..state.manifest import Manifest, parquet_row_count
 
@@ -144,7 +145,8 @@ def graph_stage(out_dir: Path, cfg: PipelineConfig,
     mentions = spans_to_mentions(spans).materialize()  # small: distinct keys
     bands = mentions.map_batches(
         BandStage, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(cfg=cfg.linking), concurrency=(1, 4),
+        fn_constructor_kwargs=dict(cfg=cfg.linking),
+        concurrency=pool_size(),
     )
     pairs = candidate_pairs(bands, cfg.linking)
     comp_ds, mapping_ref = canonicalize(

@@ -25,6 +25,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from ray.data import Dataset
 
+def _media_pool() -> tuple[int, int]:
+    from ..stages.shuffle import pool_size
+
+    return pool_size()
+
+
 MAGIC = b"KGM1"
 AUDIO_MAGIC = b"KGA1"
 MEDIA_VERSION = "v2"
@@ -104,7 +110,7 @@ def decode_images(media: Dataset) -> Dataset:
     return (
         media.filter(expr="kind == 'image'")
         .map_batches(FakeImageDecoder, batch_format="pyarrow",
-                     batch_size=256, concurrency=(1, 4))
+                     batch_size=256, concurrency=_media_pool())
     )
 
 
@@ -197,7 +203,7 @@ def decode_audio(media: Dataset) -> Dataset:
     return (
         media.filter(expr="kind == 'audio'")
         .map_batches(FakeAudioDecoder, batch_format="pyarrow",
-                     batch_size=256, concurrency=(1, 4))
+                     batch_size=256, concurrency=_media_pool())
     )
 
 

@@ -36,6 +36,7 @@ def _dim_table(path: str):
 
     return pq.read_table(path).to_pandas()
 from .joins import hash_join
+from .shuffle import pool_size
 from .shuffle import grouped_count
 
 
@@ -160,11 +161,11 @@ def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
     from .shuffle import grouped_agg
 
     keyed = per_supp.map_batches(
-        BroadcastLookup, batch_format="pandas", concurrency=(1, 2),
+        BroadcastLookup, batch_format="pandas", concurrency=pool_size(),
         fn_constructor_kwargs=dict(mapping_ref=nk_ref, key_col="l_suppkey",
                                    out_col="nationkey"),
     ).map_batches(
-        BroadcastLookup, batch_format="pandas", concurrency=(1, 2),
+        BroadcastLookup, batch_format="pandas", concurrency=pool_size(),
         fn_constructor_kwargs=dict(mapping_ref=name_ref, key_col="nationkey",
                                    out_col="n_name"),
     )

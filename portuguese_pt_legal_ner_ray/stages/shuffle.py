@@ -24,6 +24,15 @@ from ray.data import Dataset
 
 _SEP = "\x1f"
 
+
+def pool_size() -> tuple[int, int]:
+    """Actor-pool bounds scaled to the session's CPU width — THE shared
+    sizing policy (a hard-coded cap runs a stage at a fraction of a wide
+    cluster; pools autoscale from 1 so tiny inputs don't pay spin-up)."""
+    import ray
+
+    return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
 # FNV-64 prime as the polynomial base; math is uint64 with natural wraparound
 _HASH_BASE = np.uint64(1099511628211)
 _POW: np.ndarray = np.array([1], dtype=np.uint64)

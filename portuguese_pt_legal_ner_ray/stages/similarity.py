@@ -21,11 +21,9 @@ from ray.data import Dataset
 
 
 def _pool_size() -> tuple[int, int]:
-    """Actor-pool bounds scaled to the session's CPU width (same policy as
-    pipelines/kg._resolve_concurrency) — a hard-coded cap would run the
-    scan stages at a fraction of a wide cluster."""
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus))
+    from .shuffle import pool_size
+
+    return pool_size()
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
