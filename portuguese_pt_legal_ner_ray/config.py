@@ -111,6 +111,13 @@ class PipelineConfig:
     ner_batch_size: int = 1024
     # actor pool size (min, max); None -> autoscale to (1, cluster CPUs)
     ner_concurrency: int | tuple[int, int] | None = None
+    # extra ray_remote_args for the NER actor pool, e.g.
+    # {"num_gpus": 0.25} to pack 4 model actors per GPU or
+    # {"num_cpus": 2} for multi-threaded tokenizers (SURVEY.md §2.3 A1
+    # maps the model stage to map_batches(..., num_gpus=g); the reference
+    # auto-places on CUDA, src/inference.py:75-84). Pure placement knob —
+    # never affects outputs, so it is excluded from the resume fingerprint.
+    ner_ray_remote_args: dict | None = None
     # "regex" -> direct gazetteer decode; "logits" -> the real-model wire
     # format (per-token logit matrix -> argmax -> BIO -> simple aggregation,
     # functions/tagger.LogitsTagger). Identical outputs by construction;

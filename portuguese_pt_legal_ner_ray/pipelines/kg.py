@@ -53,6 +53,22 @@ def _resolve_concurrency(cfg: PipelineConfig) -> int | tuple[int, int]:
     return (1, max(2, cpus))
 
 
+def ner_map_batches_kwargs(cfg: PipelineConfig) -> dict:
+    """The full ``map_batches`` kwargs for the NER actor-pool stage.
+
+    ``cfg.ner_ray_remote_args`` (e.g. ``{"num_gpus": 0.25}`` for a real
+    HF checkpoint) is splatted last so accelerator/CPU claims reach Ray's
+    actor scheduler — SURVEY.md §2.3 A1's ``num_gpus=g`` mapping."""
+    kwargs: dict = dict(
+        batch_format="pyarrow",
+        batch_size=cfg.ner_batch_size,
+        concurrency=_resolve_concurrency(cfg),
+        fn_constructor_kwargs=dict(cfg=cfg),
+    )
+    kwargs.update(cfg.ner_ray_remote_args or {})
+    return kwargs
+
+
 def _partition_files(input_dir: str | Path, num_partitions: int) -> list[list[str]]:
     files = sorted(str(p) for p in Path(input_dir).glob("*.parquet"))
     if not files:
@@ -99,13 +115,7 @@ def extract_partition(files: list[str], out_dir: Path, part: str,
     (
         ray.data.read_parquet(str(ext_dir))
         .map_batches(explode_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(
-            NerTripleStage,
-            batch_format="pyarrow",
-            batch_size=cfg.ner_batch_size,
-            concurrency=_resolve_concurrency(cfg),
-            fn_constructor_kwargs=dict(cfg=cfg),
-        )
+        .map_batches(NerTripleStage, **ner_map_batches_kwargs(cfg))
         .write_parquet(str(ner_dir))
     )
     return {
@@ -204,7 +214,8 @@ def run_kg_pipeline(
     import dataclasses
 
     cfg_fp = hashlib.md5(
-        repr(dataclasses.replace(cfg, ner_batch_size=0, ner_concurrency=None)).encode()
+        repr(dataclasses.replace(cfg, ner_batch_size=0, ner_concurrency=None,
+                                 ner_ray_remote_args=None)).encode()
     ).hexdigest()
     plan_fp = hashlib.md5(json.dumps([plan_sigs, cfg_fp]).encode()).hexdigest()
     done_parts = 0
@@ -284,10 +295,16 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
 
     from ..config import LINK_LABELS
     from ..oracle import link_entities
+    from ..stages import linking as linking_mod
     from ..stages.extract import ner_triples_task
-    from ..stages.graph import build_edges
-    from ..stages.linking import mention_partial_task
-    from ..stages.shuffle import grouped_agg
+    from ..stages.graph import build_edges, build_nodes
+    from ..stages.linking import (
+        BandStage,
+        candidate_pairs,
+        canonicalize,
+        mention_partial_task,
+    )
+    from ..stages.shuffle import grouped_agg, pool_size
 
     import time
 
@@ -331,53 +348,95 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
     def only_linkable(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["label"], value_set=link_label_arr))
 
-    linkable = partials_ds.map_batches(only_linkable, batch_format="pyarrow").to_pandas()
-    linkable = linkable.sort_values(["key", "surface"], kind="stable")
-    linkable = (
-        linkable.groupby("key", sort=False)
-        .agg(label=("label", "first"), surface=("surface", "first"), n=("n", "sum"))
-        .reset_index()
-    )
-    mentions_map = {
-        r.key: (r.label, r.surface, int(r.n)) for r in linkable.itertuples()
-    }
-    full_mapping = link_entities(mentions_map, cfg.linking)
-    # broadcast only non-identity entries: dicts are NOT zero-copy in the
-    # object store, so ship just the (small) remap set; lookups default to
-    # identity
-    mapping = {k: v for k, v in full_mapping.items() if k != v}
-    mapping_ref = ray.put(mapping)
+    linkable_ds = partials_ds.map_batches(only_linkable, batch_format="pyarrow")
+    # driver-collect guard (shared DRIVER_CC_MAX_KEYS contract with
+    # stages/linking.canonicalize, read at call time so tests can override):
+    # the partial-row count upper-bounds distinct linkable keys, so the
+    # collect below can never silently OOM the driver at web-scale surface
+    # counts — above the cap the whole link+nodes+edges section switches to
+    # the stage-based distributed machinery (grouped_agg mentions ->
+    # BandStage -> candidate_pairs -> distributed CC -> hash_join remaps).
+    n_linkable_rows = linkable_ds.count()
+    driver_path = n_linkable_rows <= linking_mod.DRIVER_CC_MAX_KEYS
+    mapping_ref = None
+    comp_ds = None
+    mentions = None
+    if driver_path:
+        linkable = linkable_ds.to_pandas()
+        linkable = linkable.sort_values(["key", "surface"], kind="stable")
+        linkable = (
+            linkable.groupby("key", sort=False)
+            .agg(label=("label", "first"), surface=("surface", "first"), n=("n", "sum"))
+            .reset_index()
+        )
+        mentions_map = {
+            r.key: (r.label, r.surface, int(r.n)) for r in linkable.itertuples()
+        }
+        full_mapping = link_entities(mentions_map, cfg.linking)
+        # broadcast only non-identity entries: dicts are NOT zero-copy in the
+        # object store, so ship just the (small) remap set; lookups default to
+        # identity
+        mapping = {k: v for k, v in full_mapping.items() if k != v}
+        mapping_ref = ray.put(mapping)
+        n_linkable = len(linkable)
+    else:
+        mentions = grouped_agg(
+            partials_ds,
+            ["key"],
+            {"label": ("label", "min"), "surface": ("surface", "min"),
+             "n": ("n", "sum")},
+            pre_aggregated=True,
+        ).materialize()  # one row per distinct key — small vs the corpus
+        bands = mentions.map_batches(
+            BandStage, batch_format="pyarrow",
+            fn_constructor_kwargs=dict(cfg=cfg.linking),
+            concurrency=pool_size(),
+        )
+        pairs = candidate_pairs(bands, cfg.linking)
+        comp_ds, mapping_ref = canonicalize(mentions, pairs, cfg.linking)
+        n_linkable = (
+            mentions.map_batches(only_linkable, batch_format="pyarrow").count()
+        )
     phases["link"] = round(time.time() - _t, 2)
     _t = time.time()
 
     # job 3: nodes — one distributed shuffle: span partials with the
     # canonical id applied, bucket-merged by component (order-free Min/Sum)
-    state: dict = {}
+    if mapping_ref is not None:
+        state: dict = {}
 
-    def apply_comp(batch: pa.Table) -> pa.Table:
-        m = state.get("m")
-        if m is None:
-            m = state["m"] = ray.get(mapping_ref)
-        keys = batch["key"].to_pylist()
-        return pa.table(
-            {
-                "comp": pa.array([m.get(k, k) for k in keys], pa.string()),
-                "surface": batch["surface"],
-                "n": batch["n"],
-            }
+        def apply_comp(batch: pa.Table) -> pa.Table:
+            m = state.get("m")
+            if m is None:
+                m = state["m"] = ray.get(mapping_ref)
+            # keys repeat across partial rows: dictionary-encode, remap once
+            # per DISTINCT key, vectorized take (same shape as
+            # stages/graph.make_canonize — no per-row Python)
+            enc = batch["key"].combine_chunks().dictionary_encode()
+            mapped = pa.array(
+                [m.get(k, k) for k in enc.dictionary.to_pylist()], pa.string()
+            )
+            return pa.table(
+                {
+                    "comp": pc.take(mapped, enc.indices),
+                    "surface": batch["surface"],
+                    "n": batch["n"],
+                }
+            )
+
+        nodes = grouped_agg(
+            partials_ds.map_batches(apply_comp, batch_format="pyarrow"),
+            ["comp"],
+            {"canonical_surface": ("surface", "min"), "n_mentions": ("n", "sum")},
+            pre_aggregated=True,
+        ).map_batches(
+            lambda df: df.assign(
+                entity_id=df["comp"], label=[c.split("|", 1)[0] for c in df["comp"]]
+            )[["entity_id", "canonical_surface", "label", "n_mentions"]],
+            batch_format="pandas",
         )
-
-    nodes = grouped_agg(
-        partials_ds.map_batches(apply_comp, batch_format="pyarrow"),
-        ["comp"],
-        {"canonical_surface": ("surface", "min"), "n_mentions": ("n", "sum")},
-        pre_aggregated=True,
-    ).map_batches(
-        lambda df: df.assign(
-            entity_id=df["comp"], label=[c.split("|", 1)[0] for c in df["comp"]]
-        )[["entity_id", "canonical_surface", "label", "n_mentions"]],
-        batch_format="pandas",
-    )
+    else:
+        nodes = build_nodes(mentions, comp_ds)
     nodes.write_parquet(str(out_dir / "graph" / "nodes"))
     phases["nodes"] = round(time.time() - _t, 2)
     _t = time.time()
@@ -386,6 +445,7 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
     edges = build_edges(
         extraction.map_batches(flatten_triples, batch_format="pyarrow"),
         mapping_ref=mapping_ref,
+        comp_ds=None if mapping_ref is not None else comp_ds,
     )
     edges.write_parquet(str(out_dir / "graph" / "edges"))
     phases["edges"] = round(time.time() - _t, 2)
@@ -393,7 +453,8 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
     return {
         "phases": phases,
         "paragraphs": parquet_row_count(out_dir / "extraction"),
-        "linkable_mentions": len(linkable),
+        "linkable_mentions": n_linkable,
+        "link_path": "driver" if driver_path else "distributed",
         "nodes": parquet_row_count(out_dir / "graph" / "nodes"),
         "edges": parquet_row_count(out_dir / "graph" / "edges"),
     }

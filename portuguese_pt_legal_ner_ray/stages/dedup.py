@@ -289,6 +289,11 @@ def ngram_jaccard_pairs(
     per-gram quadratic emission at corpus scale). Shared grams above the
     cap then under-count the intersection — at the oracle scales the cap is
     never reached (max trigram df is ~25 at sf0.1), so SQL parity is exact.
+    The cap is NOT silent (same contract as ``sketches.heavy_hitters``):
+    every capped gram is counted through the shuffle on a sentinel pair key
+    and the final filter stage emits a ``UserWarning`` with the capped-gram
+    count (raised in the Ray worker running that stage, so it lands in the
+    job logs; unit-testable by calling the filter on a synthetic table).
     Docs with fewer than ``n`` tokens have no grams and never pair (the SQL
     oracle agrees by construction).
     """
@@ -321,8 +326,12 @@ def ngram_jaccard_pairs(
             "sz": group["sz"].to_pandas(),
         })
         a_out, b_out, na_out, nb_out = [], [], [], []
+        n_capped = 0
         for _, g in df.groupby("gram", sort=False):
-            if len(g) < 2 or len(g) > max_gram_df:
+            if len(g) > max_gram_df:
+                n_capped += 1
+                continue
+            if len(g) < 2:
                 continue
             order = np.argsort(g["id"].to_numpy())
             ids = g["id"].to_numpy()[order]
@@ -332,6 +341,14 @@ def ngram_jaccard_pairs(
             b_out.append(ids[ju])
             na_out.append(sz[iu])
             nb_out.append(sz[ju])
+        if n_capped:
+            # sentinel pair key (-1, -1): rides the normal shuffle, its "one"
+            # carries this bucket's capped-gram count so grouped_agg sums the
+            # global total — no side channel, no extra pass
+            a_out.append(np.array([-1], dtype=np.int64))
+            b_out.append(np.array([-1], dtype=np.int64))
+            na_out.append(np.array([1], dtype=np.int64))
+            nb_out.append(np.array([1], dtype=np.int64))
         if not a_out:
             return pa.table({
                 "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -340,12 +357,15 @@ def ngram_jaccard_pairs(
             })
         cat = np.concatenate
         k = len(cat(a_out))
+        ones = np.ones(k, dtype=np.int64)
+        if n_capped:
+            ones[-1] = n_capped  # sentinel row carries the capped count
         return pa.table({
             "id_a": pa.array(cat(a_out), pa.int64()),
             "id_b": pa.array(cat(b_out), pa.int64()),
             "na": pa.array(cat(na_out), pa.int64()),
             "nb": pa.array(cat(nb_out), pa.int64()),
-            "one": pa.array(np.ones(k, dtype=np.int64)),
+            "one": pa.array(ones),
         })
 
     pair_stats = grouped_agg(
@@ -358,13 +378,36 @@ def ngram_jaccard_pairs(
     )
 
     def keep(t: pa.Table) -> pa.Table:
-        ni = t["ni"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t["na"].to_numpy(zero_copy_only=False)
-        nb = t["nb"].to_numpy(zero_copy_only=False)
-        mask = ni / (na + nb - ni) >= threshold
-        return t.filter(pa.array(mask)).select(["id_a", "id_b"])
+        return _ngram_keep(t, threshold, max_gram_df)
 
     return pair_stats.map_batches(keep, batch_format="pyarrow")
+
+
+def _ngram_keep(t: "pa.Table", threshold: float, max_gram_df: int) -> "pa.Table":
+    """Final Jaccard filter for :func:`ngram_jaccard_pairs`; surfaces the
+    capped-gram sentinel (id_a == id_b == -1) as a ``UserWarning`` instead
+    of silently dropping it."""
+    import numpy as np
+    import warnings
+
+    id_a = t["id_a"].to_numpy(zero_copy_only=False)
+    sentinel = id_a == -1
+    if sentinel.any():
+        n_capped = int(t["ni"].to_numpy(zero_copy_only=False)[sentinel].sum())
+        warnings.warn(
+            f"ngram_jaccard_pairs: {n_capped} gram(s) exceeded "
+            f"max_gram_df={max_gram_df} and were excluded from pair "
+            "generation — |A∩B| is under-counted for pairs sharing those "
+            "grams, so near-dup recall is not guaranteed. Raise max_gram_df "
+            "or pre-filter stopword grams.",
+            stacklevel=2,
+        )
+        t = t.filter(pa.array(~sentinel))
+    ni = t["ni"].to_numpy(zero_copy_only=False).astype(np.float64)
+    na = t["na"].to_numpy(zero_copy_only=False)
+    nb = t["nb"].to_numpy(zero_copy_only=False)
+    mask = ni / (na + nb - ni) >= threshold
+    return t.filter(pa.array(mask)).select(["id_a", "id_b"])
 
 
 def _char_pool() -> tuple[int, int]:
@@ -375,14 +418,26 @@ def _char_pool() -> tuple[int, int]:
 
 
 def char_jaccard_pairs(docs: Dataset, threshold: float = 0.5,
-                       text_col: str = "text") -> Dataset:
+                       text_col: str = "text",
+                       max_rows: int = 50_000) -> Dataset:
     """All pairs with distinct-character Jaccard >= threshold.
 
     O(n²) by design — the SQL-oracle-checkable baseline for the LSH path
     (DuckDB ``jaccard()`` uses the same distinct-character semantics).
+    ``max_rows`` guards against pointing this baseline at a real corpus:
+    it raises above the cap instead of silently pulling the whole doc table
+    to the driver — use :func:`near_dup_pairs_minhash` (the bucketed scale
+    path) there, or raise the cap explicitly.
     """
     import ray
 
+    n = docs.count()
+    if n > max_rows:
+        raise ValueError(
+            f"char_jaccard_pairs is an O(n²) oracle baseline; input has {n} "
+            f"rows > max_rows={max_rows}. Use the MinHash/LSH scale path "
+            f"(minhash_lsh_pairs) or raise max_rows explicitly."
+        )
     df = docs.select_columns(["doc_id", text_col]).to_pandas()
     items = sorted((i, frozenset(t)) for i, t in zip(df["doc_id"], df[text_col]))
     items_ref = ray.put(items)  # broadcast once; outer loop is distributed

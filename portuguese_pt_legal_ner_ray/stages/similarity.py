@@ -135,6 +135,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 50_000,
 ) -> Dataset:
     """All (id_a < id_b) pairs with cosine similarity >= threshold.
 
@@ -144,7 +145,17 @@ def embedding_near_dup_pairs(
     DuckDB-``list_cosine_similarity``-checkable oracle for the scale path —
     use :func:`embedding_near_dup_pairs_ivf` (cell-routed, no whole-table
     materialization) on anything larger than an oracle-sized sample.
+    ``max_rows`` guards against pointing this baseline at a real corpus:
+    it raises above the cap instead of silently materializing the table
+    on the driver (raise the cap explicitly if you truly mean it).
     """
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is an O(n²) oracle baseline; input has "
+            f"{n} rows > max_rows={max_rows}. Use embedding_near_dup_pairs_ivf "
+            f"(the cell-routed scale path) or raise max_rows explicitly."
+        )
     df = vectors.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
     mat = _norm_rows(np.array(df[emb_col].tolist(), dtype=np.float64))
     ids = df[id_col].to_numpy(dtype=np.int64)
@@ -279,18 +290,40 @@ def ivf_topk(
     q = ray.get(queries_ref)
     q_probe = np.argsort(-(_norm_rows(q["mat"]) @ cents.T), axis=1)[:, :nprobe]
     probe_ref = ray.put({qid: np.sort(cells) for qid, cells in zip(q["ids"], q_probe)})
+    union_ref = ray.put(np.unique(q_probe))
 
     class CellPartial(_PartialTopK):
+        """Sublinear scan: the only full-corpus work per batch is the cell
+        assignment (one ``n × n_cells`` matmul — the IVF index-build cost).
+        Rows outside the UNION of all probed cells are dropped BEFORE the
+        expensive ``q_mat @ mat.T`` matmul, so query compute scales with the
+        probed corpus fraction (nprobe/n_cells on balanced cells), not with
+        corpus size. Pruning at the scan beats a ``groupby(cell)`` route
+        here: same compute bound, no all-to-all shuffle of the vectors."""
+
         def __init__(self, queries_ref, k, emb_col, id_col):
             super().__init__(queries_ref, k, emb_col, id_col)
             self.cents = ray.get(cents_ref)
             self.probe = ray.get(probe_ref)
+            self.union = ray.get(union_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _norm_rows(_emb_matrix(batch, self.emb_col))
             cells = (mat @ self.cents.T).argmax(axis=1)
-            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-            sims = self.q_mat @ mat.T
+            keep = np.isin(cells, self.union)
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+            if not keep.any():
+                return empty
+            mat = mat[keep]
+            cells = cells[keep]
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)[keep]
+            sims = self.q_mat @ mat.T  # [nq, kept] — probed fraction only
             q_out, id_out, sim_out = [], [], []
             for qi, qid in enumerate(self.q_ids):
                 mask = np.isin(cells, self.probe[qid])

@@ -2,39 +2,68 @@
 
 Used when the distinct-entity graph exceeds driver memory
 (stages/linking.py DRIVER_CC_MAX_KEYS). Pure Dataset algebra — each
-iteration is ONE streamed plan with two groupby shuffles:
+iteration is ONE streamed plan with two shuffles:
 
-1. ``groupby(node)`` over the union of comp rows ``(node, comp)`` and edge
-   rows ``(node=src, dst)`` — every group holds a node's current component
-   id and its out-neighbors, and emits ``(dst, comp)`` messages plus its own
-   assignment (an explicit join-free message-passing step);
+1. bucket-route the union of comp rows ``(node, comp)`` and edge rows
+   ``(node=src, dst)`` by ``hash(node) % buckets`` — each bucket emits, with
+   ONE vectorized pandas UDF (the ``sessionize`` pattern,
+   stages/windows.py), every node's own assignment plus ``(dst, comp)``
+   messages to its out-neighbors (an explicit join-free message-passing
+   step; never one Python call per node — that costs a call per distinct
+   key, ruinous at web-scale key counts);
 2. ``groupby(node).Min(comp)`` — the min-label reduce.
 
-Convergence = assignment checksum unchanged (a cheap sum job per round),
-bounded by ``max_iters``; components here are shallow same-as variant
-clusters, so rounds ≈ component diameter. Component id converges to the
-lexicographic-min key of each component — the same contract as the driver
-union-find (SURVEY.md §7 "what's hard" #1/#2), so both paths agree exactly.
+Convergence = assignment checksum unchanged (a cheap vectorized-hash sum
+job per round), bounded by ``max_iters``; components here are shallow
+same-as variant clusters, so rounds ≈ component diameter. Component id
+converges to the lexicographic-min key of each component — the same
+contract as the driver union-find (SURVEY.md §7 "what's hard" #1/#2), so
+both paths agree exactly.
 """
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
 
 def _checksum(comp: Dataset) -> int:
+    """Order-free assignment digest: sum (mod 2^64) of the vectorized
+    64-bit hash of each "node->comp" row — one kernel pass per batch."""
+    from ..stages.shuffle import hash_strings
+
     def partial(batch: pa.Table) -> pa.Table:
-        s = 0
-        for k, c in zip(batch["node"].to_pylist(), batch["comp"].to_pylist()):
-            s += zlib.crc32(f"{k}->{c}".encode())
+        joined = pc.binary_join_element_wise(
+            pc.cast(batch["node"], pa.string()),
+            pc.cast(batch["comp"], pa.string()),
+            "->",
+        ).combine_chunks()
+        h = hash_strings(joined)
+        # int64 view: wrapping sum is deterministic and Arrow-representable
+        s = int(np.sum(h.view(np.int64), dtype=np.int64))
         return pa.table({"crc": pa.array([s], pa.int64())})
 
     return comp.map_batches(partial, batch_format="pyarrow").sum("crc")
+
+
+def _emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One vectorized message-passing step for a whole node bucket: each
+    node's current component is forwarded to itself and to every
+    out-neighbor recorded in this bucket's edge rows."""
+    own = g[g["comp"].notna()]
+    # exactly one comp row per node in a well-formed union; min() is the
+    # safe reduce if an upstream ever unions duplicate assignments
+    comp_map = own.groupby("node", sort=False)["comp"].min()
+    msgs = g[g["dst"].notna()]
+    node = pd.concat([own["node"], msgs["dst"]], ignore_index=True)
+    comp = pd.concat(
+        [own["comp"], msgs["node"].map(comp_map)], ignore_index=True
+    )
+    return pd.DataFrame({"node": node, "comp": comp})
 
 
 def connected_components_distributed(
@@ -59,17 +88,10 @@ def connected_components_distributed(
             batch_format="pyarrow",
         )
 
-    def emit_messages(g: pd.DataFrame) -> pa.Table:
-        own = g["comp"].dropna()
-        comp_val = own.min()  # exactly one non-null in a well-formed group
-        dsts = g["dst"].dropna().tolist()
-        nodes = [g["node"].iloc[0], *dsts]
-        return pa.table(
-            {
-                "node": pa.array(nodes, pa.string()),
-                "comp": pa.array([comp_val] * len(nodes), pa.string()),
-            }
-        )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ..stages.shuffle import bucket_by
+
+        return bucket_by(t, ["node"])
 
     last_crc = _checksum(
         comp.map_batches(lambda t: pa.table({"node": t["node"], "comp": t["comp"]}),
@@ -78,8 +100,9 @@ def connected_components_distributed(
     for _ in range(max_iters):
         new_comp = (
             comp.union(edges)
-            .groupby("node")
-            .map_groups(emit_messages, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_emit_bucket, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("comp", alias_name="comp"))
             .map_batches(
