@@ -112,3 +112,77 @@ def test_resume_after_injected_failure(ray_session, mini_run, tmp_path):
         assert times_after[p] == times_before[p], "completed partition was recomputed"
     for name in TABLE_COLS:
         _assert_table_equal(out, mini_run["golden"], name)
+
+def test_bench_distributed_link_matches_oracle(mini_run, monkeypatch):
+    """run_kg_bench with the driver-collect cap forced tiny must take the
+    stage-based distributed link path (no driver to_pandas of mentions) and
+    still produce byte-identical nodes/edges (VERDICT r3 item #3)."""
+    from portuguese_pt_legal_ner_ray.pipelines.kg import run_kg_bench
+    from portuguese_pt_legal_ner_ray.stages import linking as linking_mod
+
+    monkeypatch.setattr(linking_mod, "DRIVER_CC_MAX_KEYS", 10)
+    out = mini_run["root"] / "out_bench_dist"
+    res = run_kg_bench(mini_run["input"], out)
+    assert res["link_path"] == "distributed"
+    for name in ("nodes", "edges"):
+        _assert_table_equal(out, mini_run["golden"], name)
+
+
+def test_ner_remote_args_reach_map_batches(mini_run, tmp_path, monkeypatch):
+    """cfg.ner_ray_remote_args must be splatted into the NER map_batches call
+    (SURVEY.md §2.3 A1 num_gpus mapping; VERDICT r3 item #4)."""
+    import ray.data
+
+    from portuguese_pt_legal_ner_ray.pipelines.kg import (
+        extract_partition,
+        ner_map_batches_kwargs,
+    )
+    from portuguese_pt_legal_ner_ray.stages.extract import NerTripleStage
+
+    # pure-unit: a GPU claim lands in the kwargs (never actually scheduled
+    # here — this sandbox has no GPU)
+    kw = ner_map_batches_kwargs(PipelineConfig(ner_ray_remote_args={"num_gpus": 0.25}))
+    assert kw["num_gpus"] == 0.25 and kw["batch_size"] == PipelineConfig().ner_batch_size
+
+    # wiring: the kwargs reach the actual Dataset.map_batches call for the
+    # NER stage (spy on the method, run one real partition with a
+    # satisfiable claim)
+    recorded: dict = {}
+    orig = ray.data.Dataset.map_batches
+
+    def spy(self, fn, **kwargs):
+        if fn is NerTripleStage:
+            recorded.update(kwargs)
+        return orig(self, fn, **kwargs)
+
+    monkeypatch.setattr(ray.data.Dataset, "map_batches", spy)
+    files = sorted(str(p) for p in Path(mini_run["input"]).glob("*.parquet"))[:1]
+    cfg = PipelineConfig(ner_ray_remote_args={"num_cpus": 1})
+    extract_partition(files, tmp_path / "out_remote_args", "00000", cfg)
+    assert recorded.get("num_cpus") == 1
+    assert recorded.get("batch_size") == cfg.ner_batch_size
+
+
+def test_remote_args_excluded_from_resume_fingerprint(mini_run, tmp_path):
+    """Changing ner_ray_remote_args (a pure placement knob) must NOT
+    invalidate finished partitions on resume."""
+    from portuguese_pt_legal_ner_ray.state.manifest import Manifest
+
+    out = tmp_path / "out_fp"
+    run_kg_pipeline(mini_run["input"], out, num_partitions=2)
+    before = {
+        r["partition"]: r["completed_at"]
+        for r in Manifest(out).all_records()
+        if r["stage"] == "extract"
+    }
+    run_kg_pipeline(
+        mini_run["input"], out,
+        cfg=PipelineConfig(ner_ray_remote_args={"num_cpus": 1}),
+        num_partitions=2,
+    )
+    after = {
+        r["partition"]: r["completed_at"]
+        for r in Manifest(out).all_records()
+        if r["stage"] == "extract"
+    }
+    assert after == before, "placement-only config change recomputed partitions"
