@@ -128,7 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
 
         out = _kg_out(_sf_of(sf_dir))
-        ds = ray.data.read_parquet(str(out / "graph" / "spans"), columns=["label"])
+        from portuguese_pt_legal_ner_ray.stages.shuffle import strip_schema_metadata
+
+        ds = strip_schema_metadata(
+            ray.data.read_parquet(str(out / "graph" / "spans"), columns=["label"]))
         return ds.groupby("label").count().map_batches(
             lambda t: pa.table({"label": t["label"], "n_spans": t["count()"]}),
             batch_format="pyarrow",
@@ -160,8 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return pa.table({"tp": pa.array([len(got & self.want)], pa.int64()),
                                  "n_got": pa.array([len(got)], pa.int64())})
 
-        triples = ray.data.read_parquet(str(out / "graph" / "triples"),
-                                        columns=["subj", "pred", "obj"])
+        from portuguese_pt_legal_ner_ray.stages.shuffle import strip_schema_metadata
+
+        triples = strip_schema_metadata(
+            ray.data.read_parquet(str(out / "graph" / "triples"),
+                                  columns=["subj", "pred", "obj"]))
         # distinct first so per-batch partial sets can be summed exactly
         distinct = triples.groupby(["subj", "pred", "obj"]).count()
         parts = distinct.map_batches(Partial, batch_format="pyarrow",
@@ -227,7 +233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lang_histogram(sf_dir: str):
         import pyarrow as pa
 
-        ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        from portuguese_pt_legal_ner_ray.stages.shuffle import strip_schema_metadata
+
+        ds = strip_schema_metadata(
+            sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]))
         return ds.groupby("lang").count().map_batches(
             lambda t: pa.table({"lang": t["lang"], "n": t["count()"]}),
             batch_format="pyarrow",
@@ -593,11 +602,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard(a.text, b.text) >= 0.95""",
         "docs_top10_longest": """SELECT doc_id, length(text) AS n_chars FROM documents
                                  ORDER BY n_chars DESC, doc_id LIMIT 10""",
-        # word-trigram Jaccard: tokens = \S+ runs of lower(text) (the RE2
-        # equivalent of Python str.split), distinct 3-gram sets per doc,
-        # |A n B| by gram self-join, Jaccard from set sizes
+        # word-trigram Jaccard: tokens = runs of non-whitespace where the
+        # whitespace class is the RE2 spelling of PYTHON str.split()'s
+        # Unicode set — \s (ASCII) + \p{Z} separators + U+001C-1F + U+0085.
+        # Validated exhaustively over all codepoints (both directions) like
+        # _TOK_RE2; plain \S+ would diverge on NBSP/U+2028-style whitespace.
+        # Distinct 3-gram sets per doc, |A n B| by gram self-join, Jaccard
+        # from set sizes.
         "near_dup_ngram": r"""
-            WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(
+                                lower(text),
+                                '[^\s\p{Z}\x{1c}-\x{1f}\x{85}]+') AS w
                        FROM documents),
             u AS (SELECT doc_id, unnest(w) AS tok,
                          generate_subscripts(w, 1) AS i FROM t),

@@ -131,8 +131,9 @@ def _burn(seconds: float) -> int:
 
 
 def _burn_stream(seconds: float) -> int:
-    """Memory-STREAMING kernel (pre-allocated 64 MB in/out buffers): the
-    bandwidth-bound ceiling, complementing the L1-resident ``_burn``."""
+    """Memory-STREAMING kernel (pre-allocated 8 MB uint8 in / 64 MB uint64
+    out buffers): the bandwidth-bound ceiling, complementing the
+    L1-resident ``_burn``."""
     import numpy as np
 
     a = np.random.default_rng(0).integers(0, 255, 8_000_000, dtype=np.uint8)

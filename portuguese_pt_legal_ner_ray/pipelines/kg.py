@@ -475,6 +475,11 @@ def export_predictions_jsonl(out_dir: str | Path, jsonl_dir: str | Path) -> int:
         import pandas as pd
 
         lists = batch["spans"].combine_chunks()
+        # offset-based slicing below assumes dense lists: a NULL list row
+        # whose offsets aren't degenerate would mis-slice its neighbors
+        # (flatten() drops null rows' values). The pipeline never writes
+        # null span lists, so enforce rather than silently fill.
+        assert lists.null_count == 0, "null spans list in extraction output"
         flat = lists.flatten()
         # columnar pulls + one zip: [start, end, "LABEL"] triplets in flat
         # span order, then sliced back to rows via the list offsets

@@ -37,6 +37,40 @@ def _input_bytes(paths: str | list[str]) -> int:
     return total
 
 
+def _first_file(paths: str | list[str]) -> Path | None:
+    if isinstance(paths, (str, Path)):
+        paths = [str(paths)]
+    for p in paths:
+        pp = Path(p)
+        if pp.is_dir():
+            for f in sorted(pp.glob("**/*.parquet")):
+                return f
+        elif pp.exists():
+            return pp
+        else:
+            for f in sorted(pp.parent.glob(pp.name)):
+                return f
+    return None
+
+
+def _clean_schema(paths, columns):
+    """Metadata-free read schema (one local footer read). Parquet written via
+    pandas carries a ``b'pandas'`` schema-metadata dict, which is unhashable
+    on this pyarrow and makes every Ray operator holding such blocks log a
+    'Failed to hash the schemas' warning; passing an explicit stripped
+    schema to ``read_parquet`` silences it at the source. Inputs here are
+    homogeneous by construction, so one footer speaks for the set."""
+    f = _first_file(paths)
+    if f is None:
+        return None
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(str(f)).remove_metadata()
+    if columns is not None:
+        schema = schema.empty_table().select(columns).schema
+    return schema
+
+
 def sized_read_parquet(
     paths: str | list[str],
     columns: list[str] | None = None,
@@ -50,4 +84,5 @@ def sized_read_parquet(
     n = max(min_blocks, -(-_input_bytes(paths) // target_block_bytes))
     if max_blocks is not None:
         n = min(n, max_blocks)
-    return ray.data.read_parquet(paths, columns=columns, override_num_blocks=n)
+    return ray.data.read_parquet(paths, columns=columns, override_num_blocks=n,
+                                 schema=_clean_schema(paths, columns))

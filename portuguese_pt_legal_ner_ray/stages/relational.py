@@ -28,13 +28,13 @@ from ray.data import Dataset
 from ..sources.parquet import sized_read_parquet
 
 
-def _dim_table(path: str):
+def _dim_table(path: str, columns: list[str] | None = None):
     """KB-sized dimension table -> pandas, read locally on the driver:
     these are immediately driver-materialized for a broadcast, so a
     distributed read would schedule Ray tasks to move kilobytes."""
     import pyarrow.parquet as pq
 
-    return pq.read_table(path).to_pandas()
+    return pq.read_table(path, columns=columns).to_pandas()
 from .joins import hash_join
 from .shuffle import pool_size
 from .shuffle import grouped_count
@@ -129,8 +129,7 @@ def lineitem_summary(sf_dir: str) -> Dataset:
 
 def parts_per_brand(sf_dir: str) -> Dataset:
     """lineitem ⋈ part (dimension broadcast) -> (p_brand, n_lineitems)."""
-    part = sized_read_parquet(f"{sf_dir}/part.parquet",
-                                 columns=["p_partkey", "p_brand"]).to_pandas()
+    part = _dim_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
     brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
@@ -151,8 +150,8 @@ def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
     """
     li = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
     per_supp = grouped_count(li, ["l_suppkey"], alias="n")
-    supp = sized_read_parquet(f"{sf_dir}/supplier.parquet",
-                                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _dim_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"])
     nation = _dim_table(f"{sf_dir}/nation.parquet")
     from .joins import BroadcastLookup, put_broadcast
 
@@ -175,9 +174,12 @@ def lineitems_per_supplier_nation(sf_dir: str) -> Dataset:
 
 def top_orders(sf_dir: str, k: int = 10) -> Dataset:
     """Global top-k by totalprice, orderkey tiebreak (sort + limit)."""
+    from .shuffle import strip_schema_metadata
+
     return (
-        sized_read_parquet(f"{sf_dir}/orders.parquet",
-                              columns=["o_orderkey", "o_totalprice"])
+        strip_schema_metadata(
+            sized_read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"]))
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(k)
     )

@@ -132,7 +132,9 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 10,
     for blob in parts["cms"]:
         if blob is not None:
             merged += np.frombuffer(blob, dtype=np.uint64).reshape(depth, width)
-    if parts["saturated"].fillna(False).any():
+    # nulls are padding rows; == True treats them as False without the
+    # fillna object-downcast FutureWarning
+    if (parts["saturated"] == True).any():  # noqa: E712
         import warnings
 
         warnings.warn(
