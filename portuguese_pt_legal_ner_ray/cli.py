@@ -16,7 +16,9 @@ Mirrors the reference's subcommand CLI shape (reference src/cli.py:506-549,
   (checkpointed; rerunning resumes automatically from manifests)
 * ``resume`` — alias of build (resume IS the default semantics)
 * ``report <out_dir>`` — print per-(stage, partition) manifest records
-  (the engine's ``list``/``show`` equivalent)
+  (the engine's ``list``/``show`` equivalent); ``--confusion-gold
+  <spans.parquet>`` additionally renders the confusion-matrix CSV+PNG
+  artifact under ``<out_dir>/artifacts/`` (reference src/tracking.py:253-272)
 * ``export <out_dir> <jsonl_path>`` — write reference-format prediction
   records (one JSON object per paragraph, reference src/inference.py:160-166)
 * ``bench`` — delegate to bench.py's single run
@@ -63,6 +65,22 @@ def cmd_report(args: argparse.Namespace) -> int:
                      if k in ("pages", "paragraphs", "mentions", "nodes",
                               "edges", "triples", "errors", "cc_path")})
         print(json.dumps(line, sort_keys=True))
+    if getattr(args, "confusion_gold", None):
+        # reference src/tracking.py:253-272 parity: confusion matrix saved
+        # as a per-run artifact (CSV + heatmap PNG) next to the manifests
+        _ensure_ray()
+        from pathlib import Path
+
+        import ray
+
+        from .stages.evalx import confusion_matrix, write_confusion_artifact
+
+        pred = ray.data.read_parquet(str(Path(args.out_dir) / "graph" / "spans"))
+        gold = ray.data.read_parquet(args.confusion_gold)
+        cells = confusion_matrix(pred, gold)
+        csv_path, png_path = write_confusion_artifact(
+            cells, Path(args.out_dir) / "artifacts" / "confusion")
+        print(f"confusion artifact: {csv_path} {png_path}")
     return 0
 
 
@@ -95,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("report")
     r.add_argument("out_dir")
+    r.add_argument("--confusion-gold", default=None,
+                   help="gold spans parquet; renders the confusion-matrix "
+                        "CSV+PNG artifact under <out_dir>/artifacts/")
     r.set_defaults(fn=cmd_report)
 
     e = sub.add_parser("export")

@@ -261,3 +261,66 @@ def token_confusion(pred_spans: Dataset, gold_spans: Dataset,
         ignore_index=True,
     )
     return cells.sort_values(["gold_tag", "pred_tag"]).reset_index(drop=True)
+
+
+def _encode_png_gray(img) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (stdlib zlib/struct only — the
+    sandbox has no plotting/imaging libs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return b"".join([
+        b"\x89PNG\r\n\x1a\n",
+        chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)),
+        chunk(b"IDAT", zlib.compress(raw, 9)),
+        chunk(b"IEND", b""),
+    ])
+
+
+def write_confusion_artifact(cells: pd.DataFrame, prefix,
+                             gold_col: str = "gold_label",
+                             pred_col: str = "pred_label",
+                             n_col: str = "n", cell_px: int = 24):
+    """Render a confusion-cell table to ``<prefix>.csv`` + ``<prefix>.png``.
+
+    Reference parity: src/tracking.py:253-272 saves the confusion matrix as
+    a matplotlib PNG artifact per experiment. Here the PNG is a hand-encoded
+    grayscale heatmap (darker = larger count; no font rendering in this
+    sandbox) and the CSV carries the full labeled matrix — axes are the
+    SORTED union of gold and pred labels on both dimensions (deterministic,
+    unlike the reference's set() ordering).
+
+    Driver-side by design: the input is the already-reduced |labels|² cell
+    table (≤ ~19×19), never per-span data.
+    """
+    from pathlib import Path
+
+    import numpy as np
+
+    labels = sorted(set(cells[gold_col]) | set(cells[pred_col]))
+    mat = (
+        cells.pivot_table(index=gold_col, columns=pred_col, values=n_col,
+                          aggfunc="sum", fill_value=0)
+        .reindex(index=labels, columns=labels, fill_value=0)
+    )
+    mat.index.name = gold_col
+    mat.columns.name = pred_col
+    csv_path, png_path = Path(f"{prefix}.csv"), Path(f"{prefix}.png")
+    csv_path.parent.mkdir(parents=True, exist_ok=True)
+    mat.to_csv(csv_path)
+    arr = mat.to_numpy(dtype=np.float64)
+    scale = arr.max() if arr.size and arr.max() > 0 else 1.0
+    shade = (255 - np.round(arr / scale * 255.0)).astype(np.uint8)
+    img = np.kron(shade, np.ones((cell_px, cell_px), dtype=np.uint8))
+    png_path.write_bytes(_encode_png_gray(img))
+    return csv_path, png_path

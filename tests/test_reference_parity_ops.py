@@ -253,6 +253,40 @@ def test_cli_report_and_build(mini_run, capsys, tmp_path):
     assert main(["build", str(mini_run["input"]), str(mini_run["out"])]) == 0
 
 
+def test_cli_report_confusion_artifact(mini_run, capsys):
+    """report --confusion-gold renders the CSV+PNG confusion artifact
+    (reference src/tracking.py:253-272 parity; VERDICT r3 item #8)."""
+    import pyarrow.parquet as pq
+
+    from portuguese_pt_legal_ner_ray.cli import main
+
+    gold_path = mini_run["root"] / "gold_spans.parquet"
+    if not gold_path.exists():
+        pq.write_table(mini_run["golden"]["spans"], gold_path)
+    assert main(["report", str(mini_run["out"]),
+                 "--confusion-gold", str(gold_path)]) == 0
+    capsys.readouterr()
+    art = mini_run["out"] / "artifacts"
+    csv_path, png_path = art / "confusion.csv", art / "confusion.png"
+    assert csv_path.exists() and png_path.exists()
+    # CSV: square sorted label axes; pipeline == oracle spans here, so the
+    # matrix is diagonal with per-label span counts
+    import numpy as np
+    import pandas as pd
+
+    mat = pd.read_csv(csv_path, index_col=0)
+    assert list(mat.index) == sorted(mat.index) and list(mat.columns) == list(mat.index)
+    off_diag = mat.to_numpy().sum() - np.diag(mat.to_numpy()).sum()
+    assert off_diag == 0
+    # PNG: valid signature and dimensions = |labels| * cell_px
+    head = png_path.read_bytes()[:24]
+    assert head[:8] == b"\x89PNG\r\n\x1a\n"
+    import struct
+
+    w, h = struct.unpack(">II", head[16:24])
+    assert w == h == len(mat.index) * 24
+
+
 def test_mlm_mask_batch_collator_semantics():
     """M5 + MLM collator parity (reference src/data.py:336-345,
     src/models.py:170-172): ~15% of tokens selected; of those 80% [MASK],
