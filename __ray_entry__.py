@@ -545,6 +545,17 @@ def oracle_sql() -> dict[str, str]:
     ensure_goldens(sf)  # goldens are the independent single-process oracle
     p = _corpus_paths(sf)
     media = ensure_media_table(500)
+    # sequential plain-Python mirrors for the non-SQL-expressible queries
+    # (minhash LSH, simhash, IVF, MLM) — frozen parquet the SQL just reads,
+    # same pattern as the kg_* goldens above
+    from portuguese_pt_legal_ner_ray.oracle_mirrors import ensure_mirror_goldens
+
+    mir = ensure_mirror_goldens(f"/root/testdata/sf{sf:g}")
+    from portuguese_pt_legal_ner_ray.corpus import CORPUS_VERSION as _CV
+
+    # the engine run directory for this sf — the kg_triple_pr QUERY builds
+    # it (driver runs each query before its oracle), the SQL only reads it
+    run = Path(_KG_RUN_ROOT) / _CV / f"sf{sf:g}"
 
     langs = sorted(STOPWORDS)
     hit_cols = ",\n    ".join(
@@ -580,6 +591,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_span_label_counts": f"""SELECT label, count(*) AS n_spans
                                     FROM read_parquet('{p['golden']}/spans.parquet')
                                     GROUP BY label""",
+        # independent recomputation of the north-rule metric: join the
+        # ENGINE's distinct triple set (run output parquet) against the
+        # golden triples and rebuild tp/fp/fn + P/R/F1 in SQL — checks the
+        # engine's distributed partial-set metric reduction
+        "kg_triple_pr": f"""
+            WITH got AS (SELECT DISTINCT subj, pred, obj
+                         FROM read_parquet('{run}/graph/triples/*.parquet')),
+                 want AS (SELECT DISTINCT subj, pred, obj
+                          FROM read_parquet('{p['golden']}/triples.parquet')),
+                 m AS (SELECT
+                   (SELECT count(*) FROM got JOIN want USING (subj, pred, obj)) AS tp,
+                   (SELECT count(*) FROM got) AS n_got,
+                   (SELECT count(*) FROM want) AS n_want)
+            SELECT tp,
+                   n_got - tp AS fp,
+                   n_want - tp AS fn,
+                   CAST(tp AS DOUBLE) / greatest(1, n_got) AS "precision",
+                   CAST(tp AS DOUBLE) / greatest(1, n_want) AS recall,
+                   2 * (CAST(tp AS DOUBLE) / greatest(1, n_got))
+                     * (CAST(tp AS DOUBLE) / greatest(1, n_want))
+                     / greatest(1e-12,
+                                CAST(tp AS DOUBLE) / greatest(1, n_got)
+                                + CAST(tp AS DOUBLE) / greatest(1, n_want)) AS f1
+            FROM m""",
         "doc_token_counts": f"""SELECT doc_id,
                    len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
             FROM documents""",
@@ -632,6 +667,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz b ON b.doc_id = ib
             WHERE CAST(ni AS DOUBLE) / (a.n + b.n - ni) >= 0.4""",
         "lang_histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        # sequential plain-Python mirrors (oracle_mirrors.py), frozen per
+        # MIRROR_VERSION — the SQL reads the golden parquet like kg_* does
+        "doc_simhash": f"SELECT * FROM read_parquet('{mir}/doc_simhash.parquet')",
+        "near_dup_minhash": f"""
+            SELECT * FROM read_parquet('{mir}/near_dup_minhash.parquet')""",
+        "near_dup_embedding_ivf": f"""
+            SELECT * FROM read_parquet('{mir}/near_dup_embedding_ivf.parquet')""",
+        "ann_ivf_topk": f"SELECT * FROM read_parquet('{mir}/ann_ivf_topk.parquet')",
+        "doc_mlm_batches": f"""
+            SELECT * FROM read_parquet('{mir}/doc_mlm_batches.parquet')""",
         "docs_approx_distinct": """
             SELECT CAST(count(DISTINCT text) AS DOUBLE) AS n_distinct FROM documents""",
         "near_dup_embedding": """

@@ -8,8 +8,9 @@
 * ``ivf_topk`` — the scale path: k-means-lite (deterministic seeded
   centroids from the data itself) assigns each vector to a coarse cell;
   queries probe only the ``nprobe`` nearest cells, so compute per query is
-  corpus_fraction × brute force. Same output contract; recall < 1 by
-  design — benchmarked, not hash-checked.
+  corpus_fraction × brute force. Same output contract; recall < 1 vs the
+  exact path by design — hash-checked against the sequential IVF mirror
+  (oracle_mirrors.py) plus a recall test vs brute force.
 """
 
 from __future__ import annotations

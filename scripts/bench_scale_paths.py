@@ -1,0 +1,193 @@
+"""Scale-path evidence benches (VERDICT r3 items #1 and #2 done-criteria).
+
+1. ``--ivf``: ivf_topk compute must scale with the probed corpus fraction
+   (nprobe/n_cells), not corpus size. Times the query over a synthetic
+   512k x 64 vector table at nprobe in {1, 4, 16, 64} with n_cells=64 —
+   sublinear pruning shows as wall time growing with nprobe while the
+   fixed cell-assignment cost stays flat.
+2. ``--cc``: the bucket-vectorized distributed-CC fallback vs the previous
+   per-node ``groupby(node).map_groups`` message passing, on a 200k-node /
+   150k-edge chain graph (50k chains of 4, diameter 3). Asserts identical
+   components, reports both wall times.
+
+Results are recorded in BASELINE.md. Owns its Ray session (script entry).
+
+    python scripts/bench_scale_paths.py --ivf --cc [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SHM = Path("/dev/shm/kgray_scalebench")
+
+
+def ensure_vectors(n: int = 512_000, dim: int = 64) -> Path:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = SHM / f"vectors_{n}x{dim}.parquet"
+    if path.exists():
+        return path
+    SHM.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(42)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    flat = pa.array(mat.ravel(), pa.float32())
+    offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(offs, flat),
+    })
+    pq.write_table(tbl, path)
+    return path
+
+
+def bench_ivf(cpus: int) -> dict:
+    import ray
+
+    from portuguese_pt_legal_ner_ray.sources.parquet import sized_read_parquet
+    from portuguese_pt_legal_ner_ray.stages.similarity import ivf_topk, make_query_ref
+
+    path = ensure_vectors()
+    out: dict = {}
+    n_cells = 64
+    for nprobe in (1, 4, 16, 64):
+        vecs = sized_read_parquet(str(path), min_blocks=cpus)
+        qref = make_query_ref(vecs, list(range(8)))
+        t0 = time.time()
+        n = ivf_topk(vecs, qref, k=10, n_cells=n_cells, nprobe=nprobe).count()
+        out[f"nprobe_{nprobe}"] = round(time.time() - t0, 2)
+        assert n > 0
+    out["n_cells"] = n_cells
+    return out
+
+
+def _cc_inputs():
+    """50k chains of 4 nodes: 200k keys, 150k undirected pair rows."""
+    import pyarrow as pa
+    import ray
+
+    keys = [f"k{i:06d}" for i in range(200_000)]
+    a, b = [], []
+    for i in range(0, 200_000, 4):
+        for j in range(3):
+            a.append(keys[i + j])
+            b.append(keys[i + j + 1])
+    keys_ds = ray.data.from_arrow(
+        pa.table({"key": pa.array(keys, pa.string())})).repartition(32)
+    pairs_ds = ray.data.from_arrow(
+        pa.table({"a": pa.array(a, pa.string()),
+                  "b": pa.array(b, pa.string())})).repartition(32)
+    return keys_ds, pairs_ds
+
+
+def _cc_per_node_reference(keys_ds, pairs_ds, max_iters: int = 15):
+    """The round-3 implementation: one map_groups UDF call PER NODE per
+    iteration — kept here (test/bench only) as the comparison baseline."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from portuguese_pt_legal_ner_ray.state.components import _checksum
+
+    comp = keys_ds.map_batches(
+        lambda t: pa.table({"node": t["key"], "comp": t["key"],
+                            "dst": pa.nulls(len(t), pa.string())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = pa.chunked_array([batch["a"], batch["b"]]).combine_chunks()
+        dst = pa.chunked_array([batch["b"], batch["a"]]).combine_chunks()
+        return pa.table({"node": src, "comp": pa.nulls(len(src), pa.string()),
+                         "dst": dst})
+
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def emit_messages(g: pd.DataFrame) -> pa.Table:
+        own = g["comp"].dropna()
+        comp_val = own.min()
+        dsts = g["dst"].dropna().tolist()
+        nodes = [g["node"].iloc[0], *dsts]
+        return pa.table({"node": pa.array(nodes, pa.string()),
+                         "comp": pa.array([comp_val] * len(nodes), pa.string())})
+
+    last = _checksum(comp.map_batches(
+        lambda t: pa.table({"node": t["node"], "comp": t["comp"]}),
+        batch_format="pyarrow"))
+    for _ in range(max_iters):
+        new_comp = (
+            comp.union(edges)
+            .groupby("node")
+            .map_groups(emit_messages, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("comp", alias_name="comp"))
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "comp": t["comp"],
+                                    "dst": pa.nulls(len(t), pa.string())}),
+                batch_format="pyarrow")
+            .materialize()
+        )
+        crc = _checksum(new_comp.map_batches(
+            lambda t: pa.table({"node": t["node"], "comp": t["comp"]}),
+            batch_format="pyarrow"))
+        comp = new_comp
+        if crc == last:
+            break
+        last = crc
+    return comp.map_batches(
+        lambda t: pa.table({"key": t["node"], "comp": t["comp"]}),
+        batch_format="pyarrow")
+
+
+def bench_cc() -> dict:
+    from portuguese_pt_legal_ner_ray.state.components import (
+        connected_components_distributed,
+    )
+
+    keys_ds, pairs_ds = _cc_inputs()
+    t0 = time.time()
+    new = connected_components_distributed(keys_ds, pairs_ds).to_pandas()
+    t_new = round(time.time() - t0, 2)
+    t0 = time.time()
+    old = _cc_per_node_reference(keys_ds, pairs_ds).to_pandas()
+    t_old = round(time.time() - t0, 2)
+    a = new.sort_values("key").reset_index(drop=True)
+    b = old.sort_values("key").reset_index(drop=True)
+    assert a.equals(b), "bucket-vectorized CC diverged from per-node CC"
+    n_comp = a["comp"].nunique()
+    assert n_comp == 50_000, n_comp
+    return {"bucket_vectorized_sec": t_new, "per_node_sec": t_old,
+            "speedup": round(t_old / t_new, 2), "nodes": 200_000,
+            "components": n_comp}
+
+
+def main():
+    import json
+
+    import ray
+
+    cpus = 32
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    out: dict = {"num_cpus": cpus}
+    if "--ivf" in sys.argv:
+        out["ivf_topk_512k"] = bench_ivf(cpus)
+    if "--cc" in sys.argv:
+        out["distributed_cc_200k"] = bench_cc()
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

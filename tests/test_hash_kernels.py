@@ -115,3 +115,21 @@ def test_hash_strings_no_trivial_collisions():
     vals = [f"k{i}" for i in range(20000)]
     h = hash_strings(pa.array(vals, pa.string()))
     assert len(np.unique(h)) == len(vals)
+
+
+def test_mirror_hash_spec_matches_vectorized_kernel():
+    """oracle_mirrors._hash_str is the sequential spec of
+    stages/shuffle.hash_strings — byte-for-byte equal, so the mirror
+    goldens (simhash/MLM) check the distributed kernels against an
+    independent restatement, not against themselves."""
+    import numpy as np
+    import pyarrow as pa
+
+    from portuguese_pt_legal_ner_ray.oracle_mirrors import _hash_str
+    from portuguese_pt_legal_ner_ray.stages.shuffle import hash_strings
+
+    samples = ["", "a", "abc", "hello world", "Олимпиада", "naïve café",
+               "x" * 300, "tab\tsep", "ação é über 東京", "0", " "]
+    got = hash_strings(pa.array(samples, pa.string()))
+    want = np.array([_hash_str(s) for s in samples], dtype=np.uint64)
+    assert (got == want).all()

@@ -136,8 +136,9 @@ def test_sized_read_parquet_block_budget(ray_session, tmp_path):
 
     seen = {}
 
-    def capture(paths, columns=None, override_num_blocks=None):
+    def capture(paths, columns=None, override_num_blocks=None, schema=None):
         seen["n"] = override_num_blocks
+        seen["schema"] = schema
 
     orig = _ray.data.read_parquet
     _ray.data.read_parquet = capture
