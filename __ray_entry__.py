@@ -169,7 +169,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(str(out / "graph" / "triples"),
                                   columns=["subj", "pred", "obj"]))
         # distinct first so per-batch partial sets can be summed exactly
-        distinct = triples.groupby(["subj", "pred", "obj"]).count()
+        # (bucketed combiner shuffle — Ray's native groupby pays
+        # per-distinct-key cost in its sort reduce; see stages/shuffle.py)
+        from portuguese_pt_legal_ner_ray.stages.shuffle import grouped_count
+
+        distinct = grouped_count(triples, ["subj", "pred", "obj"])
         parts = distinct.map_batches(Partial, batch_format="pyarrow",
                                      concurrency=(1, 2)).to_pandas()
         tp, n_got = int(parts["tp"].sum()), int(parts["n_got"].sum())

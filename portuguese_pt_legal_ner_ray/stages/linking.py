@@ -137,23 +137,42 @@ class BandStage:
 
 
 def candidate_pairs(bands_ds: Dataset, cfg: LinkingConfig) -> Dataset:
-    """Per-block deterministic pairing, then global pair dedup + verify."""
+    """Per-block deterministic pairing, then global pair dedup + verify.
 
-    def block_pairs(group: pa.Table) -> pa.Table:
-        label = group["label"][0].as_py()
-        pairs = pairs_for_block(group["norm"].to_pylist(), cfg)
-        return pa.table(
-            {
-                "a": pa.array([f"{label}|{x}" for x, _ in pairs], pa.string()),
-                "b": pa.array([f"{label}|{y}" for _, y in pairs], pa.string()),
-            }
-        )
+    Blocks are routed by ``hash(label, band_key) % 64`` and paired with ONE
+    UDF call per bucket (a pandas groupby loop inside), never one Ray UDF
+    call per distinct band — at web scale there are ~num_bands × distinct
+    entities bands, and Ray's per-group ``map_groups`` pays per-key task
+    overhead (the trap measured in scripts/bench_scale_paths.py for CC).
+    The pair dedup is the bucketed ``grouped_count`` for the same reason.
+    """
+    from .shuffle import bucket_by, grouped_count
 
-    pairs = bands_ds.groupby(["label", "band_key"]).map_groups(
-        block_pairs, batch_format="pyarrow"
+    def bucket_block_pairs(g: "pa.Table") -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "label": g["label"].to_pandas(),
+            "band_key": g["band_key"].to_pandas(),
+            "norm": g["norm"].to_pandas(),
+        })
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for (label, _bk), grp in df.groupby(["label", "band_key"], sort=False):
+            for x, y in pairs_for_block(grp["norm"].tolist(), cfg):
+                a_out.append(f"{label}|{x}")
+                b_out.append(f"{label}|{y}")
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string())})
+
+    pairs = (
+        bands_ds.map_batches(lambda t: bucket_by(t, ["label", "band_key"]),
+                             batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_block_pairs, batch_format="pyarrow")
     )
     # a pair found in several bands must be verified once: exact dedup shuffle
-    deduped = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    deduped = grouped_count(pairs, ["a", "b"]).select_columns(["a", "b"])
 
     def verify(batch: pa.Table) -> pa.Table:
         k = cfg.shingle_k

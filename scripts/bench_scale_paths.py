@@ -2,13 +2,18 @@
 
 1. ``--ivf``: ivf_topk compute must scale with the probed corpus fraction
    (nprobe/n_cells), not corpus size. Times the query over a synthetic
-   512k x 64 vector table at nprobe in {1, 4, 16, 64} with n_cells=64 —
-   sublinear pruning shows as wall time growing with nprobe while the
-   fixed cell-assignment cost stays flat.
+   512k x 64 vector table at nprobe in {1, 4, 16, 64} with n_cells=64 and
+   1024 queries (enough that the query matmul dominates the fixed
+   read + cell-assignment cost) — sublinear pruning shows as wall time
+   growing with nprobe while the fixed costs stay flat.
 2. ``--cc``: the bucket-vectorized distributed-CC fallback vs the previous
    per-node ``groupby(node).map_groups`` message passing, on a 200k-node /
-   150k-edge chain graph (50k chains of 4, diameter 3). Asserts identical
-   components, reports both wall times.
+   150k-edge chain graph (50k chains of 4, diameter 3). The new path runs
+   to convergence and is asserted equal to driver union-find; the old/new
+   speed comparison times ONE propagation iteration each (the loop body is
+   what changed — per-node costs one Python call per distinct key per
+   iteration, so a full converged run of the old path would take tens of
+   minutes at this size, which is exactly the point).
 
 Results are recorded in BASELINE.md. Owns its Ray session (script entry).
 
@@ -58,7 +63,7 @@ def bench_ivf(cpus: int) -> dict:
     n_cells = 64
     for nprobe in (1, 4, 16, 64):
         vecs = sized_read_parquet(str(path), min_blocks=cpus)
-        qref = make_query_ref(vecs, list(range(8)))
+        qref = make_query_ref(vecs, list(range(1024)))
         t0 = time.time()
         n = ivf_topk(vecs, qref, k=10, n_cells=n_cells, nprobe=nprobe).count()
         out[f"nprobe_{nprobe}"] = round(time.time() - t0, 2)
@@ -86,7 +91,7 @@ def _cc_inputs():
     return keys_ds, pairs_ds
 
 
-def _cc_per_node_reference(keys_ds, pairs_ds, max_iters: int = 15):
+def _cc_per_node_reference(keys_ds, pairs_ds, max_iters: int = 1):
     """The round-3 implementation: one map_groups UDF call PER NODE per
     iteration — kept here (test/bench only) as the comparison baseline."""
     import pandas as pd
@@ -146,25 +151,40 @@ def _cc_per_node_reference(keys_ds, pairs_ds, max_iters: int = 15):
 
 
 def bench_cc() -> dict:
+    from portuguese_pt_legal_ner_ray.oracle import _UnionFind
     from portuguese_pt_legal_ner_ray.state.components import (
         connected_components_distributed,
     )
 
     keys_ds, pairs_ds = _cc_inputs()
+    # correctness: converged bucket-vectorized CC == driver union-find
     t0 = time.time()
     new = connected_components_distributed(keys_ds, pairs_ds).to_pandas()
-    t_new = round(time.time() - t0, 2)
+    t_new_converged = round(time.time() - t0, 2)
+    uf = _UnionFind()
+    pairs_df = pairs_ds.to_pandas()
+    for k in keys_ds.to_pandas()["key"]:
+        uf.find(k)
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        uf.union(a, b)
+    want = {k: uf.find(k) for k in new["key"]}
+    got = dict(zip(new["key"], new["comp"]))
+    assert got == want, "bucket-vectorized CC diverged from union-find"
+    # speed: one propagation iteration, old per-node vs new per-bucket
+    from portuguese_pt_legal_ner_ray.state import components as comp_mod
+
     t0 = time.time()
-    old = _cc_per_node_reference(keys_ds, pairs_ds).to_pandas()
-    t_old = round(time.time() - t0, 2)
-    a = new.sort_values("key").reset_index(drop=True)
-    b = old.sort_values("key").reset_index(drop=True)
-    assert a.equals(b), "bucket-vectorized CC diverged from per-node CC"
-    n_comp = a["comp"].nunique()
-    assert n_comp == 50_000, n_comp
-    return {"bucket_vectorized_sec": t_new, "per_node_sec": t_old,
-            "speedup": round(t_old / t_new, 2), "nodes": 200_000,
-            "components": n_comp}
+    comp_mod.connected_components_distributed(keys_ds, pairs_ds, max_iters=1)\
+        .to_pandas()
+    t_new_1iter = round(time.time() - t0, 2)
+    t0 = time.time()
+    _cc_per_node_reference(keys_ds, pairs_ds, max_iters=1).to_pandas()
+    t_old_1iter = round(time.time() - t0, 2)
+    return {"bucket_vectorized_converged_sec": t_new_converged,
+            "bucket_vectorized_1iter_sec": t_new_1iter,
+            "per_node_1iter_sec": t_old_1iter,
+            "speedup_per_iter": round(t_old_1iter / t_new_1iter, 2),
+            "nodes": 200_000, "components": len(set(want.values()))}
 
 
 def main():
