@@ -95,7 +95,9 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
         timed("doc_langid", lambda: q["doc_langid"](sf_dir).count())
         timed("doc_simhash", lambda: q["doc_simhash"](sf_dir).count())
         timed("ann_cosine_topk", lambda: q["ann_cosine_topk"](sf_dir).count())
+        timed("ann_ivf_topk", lambda: q["ann_ivf_topk"](sf_dir).count())
         timed("near_dup_minhash", lambda: q["near_dup_minhash"](sf_dir).count())
+        timed("near_dup_ngram", lambda: q["near_dup_ngram"](sf_dir).count())
         timed("near_dup_embedding_ivf",
               lambda: q["near_dup_embedding_ivf"](sf_dir).count())
         timed("events_heavy_hitters", lambda: q["events_heavy_hitters"](sf_dir))
