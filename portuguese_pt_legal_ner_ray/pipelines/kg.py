@@ -348,7 +348,12 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
     def only_linkable(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["label"], value_set=link_label_arr))
 
-    linkable_ds = partials_ds.map_batches(only_linkable, batch_format="pyarrow")
+    # Materialize the (small) linkable slice once: the guard's count() then
+    # reads block metadata for free and the driver-path collect reuses the
+    # same pinned blocks instead of re-running the filter pass.
+    linkable_ds = partials_ds.map_batches(
+        only_linkable, batch_format="pyarrow"
+    ).materialize()
     # driver-collect guard (shared DRIVER_CC_MAX_KEYS contract with
     # stages/linking.canonicalize, read at call time so tests can override):
     # the partial-row count upper-bounds distinct linkable keys, so the
