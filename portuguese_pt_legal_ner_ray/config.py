@@ -120,6 +120,14 @@ class PipelineConfig:
     ner_ray_remote_args: dict | None = None
     # "regex" -> direct gazetteer decode; "logits" -> the real-model wire
     # format (per-token logit matrix -> argmax -> BIO -> simple aggregation,
-    # functions/tagger.LogitsTagger). Identical outputs by construction;
-    # a real checkpoint plugs in as LogitsTagger's model.
+    # functions/tagger.LogitsTagger); "hf" -> a real HF checkpoint loaded
+    # from ``model_dir`` (functions/tagger.HFTagger). Identical outputs by
+    # construction for the first two; "hf" output depends on the checkpoint.
     tagger: str = "regex"
+    # Saved model checkpoint directory (the reference's ModelFactory
+    # save_pretrained layout, src/models.py:176-211 — S7). Consumed by
+    # tagger="hf"; whenever set, the artifact's identity (file signature +
+    # declared version from its config.json) is recorded in every extract
+    # manifest row and folded into the resume fingerprint, so retraining
+    # the checkpoint IN PLACE invalidates finished partitions.
+    model_dir: str | None = None

@@ -217,6 +217,16 @@ def run_kg_pipeline(
         repr(dataclasses.replace(cfg, ner_batch_size=0, ner_concurrency=None,
                                  ner_ray_remote_args=None)).encode()
     ).hexdigest()
+    # S7 model-artifact contract: when a checkpoint dir is configured, pin
+    # its byte-level identity into the resume fingerprint (retraining the
+    # model IN PLACE must invalidate finished partitions, not resume past
+    # them) and record path/sig/version in every extract manifest row.
+    model_art = None
+    if cfg.model_dir:
+        from ..state.manifest import model_artifact_sig
+
+        model_art = model_artifact_sig(cfg.model_dir)
+        cfg_fp = hashlib.md5((cfg_fp + model_art["sig"]).encode()).hexdigest()
     plan_fp = hashlib.md5(json.dumps([plan_sigs, cfg_fp]).encode()).hexdigest()
     done_parts = 0
     ran_any = False
@@ -230,6 +240,8 @@ def run_kg_pipeline(
             raise RuntimeError("injected failure for resume test")
         meta = extract_partition(files, out_dir, part, cfg,
                                  input_sig=plan_sigs[i])
+        if model_art is not None:
+            meta["model"] = model_art
         manifest.mark_done("extract", part, cfg_fp=cfg_fp, **meta)
         done_parts += 1
         ran_any = True

@@ -94,6 +94,14 @@ class NerTripleStage:
             from ..functions.tagger import LogitsTagger
 
             self.tagger = LogitsTagger(confidence_threshold=cfg.confidence_threshold)
+        elif cfg.tagger == "hf":  # real checkpoint (S7 artifact, §2.3 A1)
+            if not cfg.model_dir:
+                raise ValueError("tagger='hf' requires cfg.model_dir")
+            from ..functions.tagger import HFTagger
+
+            self.tagger = HFTagger(
+                cfg.model_dir, confidence_threshold=cfg.confidence_threshold
+            )
         else:
             self.tagger = RegexGazetteerTagger(cfg.confidence_threshold)
         self.dynamic_batching = dynamic_batching

@@ -54,6 +54,47 @@ class Manifest:
         return [json.loads(p.read_text()) for p in sorted(self.dir.glob("*.json"))]
 
 
+def model_artifact_sig(model_dir: str | Path) -> dict[str, Any]:
+    """Identity of a saved model checkpoint directory (S7 contract).
+
+    The reference saves model+tokenizer with ``save_pretrained`` into
+    ``{output_dir}/{experiment_name}`` (reference src/models.py:176-211) and
+    records only the path; here the manifest additionally pins WHICH bytes
+    were at that path: a signature over every file's (relpath, size,
+    mtime_ns) plus the version the checkpoint declares in its
+    ``config.json`` (``model_version``, falling back to the HF
+    ``_name_or_path``/``name_or_path`` fields). Signature changes whenever
+    any artifact file is rewritten, so a retrained checkpoint at the SAME
+    path invalidates resume state instead of silently mixing model
+    generations in one output.
+    """
+    import hashlib
+
+    root = Path(model_dir)
+    if not root.is_dir():
+        raise FileNotFoundError(f"model_dir is not a directory: {root}")
+    rows = [
+        [str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns]
+        for p in sorted(root.rglob("*"))
+        if p.is_file()
+    ]
+    version = None
+    cfg_path = root / "config.json"
+    if cfg_path.exists():
+        try:
+            c = json.loads(cfg_path.read_text())
+            version = (c.get("model_version") or c.get("_name_or_path")
+                       or c.get("name_or_path"))
+        except (json.JSONDecodeError, OSError):
+            version = None
+    return {
+        "path": str(root),
+        "sig": hashlib.md5(json.dumps(rows).encode()).hexdigest(),
+        "version": version,
+        "n_files": len(rows),
+    }
+
+
 def parquet_row_count(path: str | Path) -> int:
     """Cheap metadata-only row count of a parquet directory."""
     import pyarrow.parquet as pq

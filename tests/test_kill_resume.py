@@ -122,3 +122,93 @@ def test_orphan_partition_dir_removed(ray_session, tmp_path):
 
     run_kg_pipeline(inp, out, num_partitions=2)
     assert not orphan.exists()
+
+
+def test_model_artifact_recorded_and_invalidates_resume(ray_session, tmp_path):
+    """S7 contract (reference src/models.py:176-211): when cfg.model_dir
+    points at a saved checkpoint, every extract manifest row records the
+    artifact's path + file signature + declared version, an unchanged
+    checkpoint resumes (no partition recomputed), and rewriting any
+    artifact file in place invalidates the finished partitions."""
+    import json
+    import time as _time
+
+    from portuguese_pt_legal_ner_ray.config import PipelineConfig
+    from portuguese_pt_legal_ner_ray.corpus import gen_pages_shard
+    from portuguese_pt_legal_ner_ray.pipelines.kg import run_kg_pipeline
+
+    inp = tmp_path / "webpages"
+    inp.mkdir()
+    for s in range(2):
+        pq.write_table(gen_pages_shard(s, s * 20, 20), inp / f"part-{s:05d}.parquet")
+
+    ckpt = tmp_path / "checkpoint" / "ner-v1"
+    ckpt.mkdir(parents=True)
+    (ckpt / "config.json").write_text(json.dumps(
+        {"model_version": "v1", "_name_or_path": "stub-pt-ner"}))
+    (ckpt / "model.safetensors").write_bytes(b"\x00" * 64)
+
+    out = tmp_path / "out"
+    cfg = PipelineConfig(model_dir=str(ckpt))
+    man = run_kg_pipeline(inp, out, cfg=cfg, num_partitions=2)
+
+    recs = [r for r in man.all_records() if r["stage"] == "extract"]
+    assert len(recs) == 2
+    for r in recs:
+        assert r["model"]["path"] == str(ckpt)
+        assert r["model"]["version"] == "v1"
+        assert r["model"]["n_files"] == 2
+        assert len(r["model"]["sig"]) == 32
+    first_done = {r["partition"]: r["completed_at"] for r in recs}
+
+    # unchanged checkpoint -> full resume, nothing recomputed
+    run_kg_pipeline(inp, out, cfg=cfg, num_partitions=2)
+    recs2 = [r for r in man.all_records() if r["stage"] == "extract"]
+    assert {r["partition"]: r["completed_at"] for r in recs2} == first_done
+
+    # retrain IN PLACE (same path, new bytes) -> partitions must re-run
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    (ckpt / "model.safetensors").write_bytes(b"\x01" * 64)
+    run_kg_pipeline(inp, out, cfg=cfg, num_partitions=2)
+    recs3 = [r for r in man.all_records() if r["stage"] == "extract"]
+    assert all(
+        r["completed_at"] > first_done[r["partition"]] for r in recs3
+    )
+
+
+def test_hf_tagger_stage_loads_from_model_dir(monkeypatch, tmp_path):
+    """tagger='hf' routes cfg.model_dir into HFTagger.from_pretrained (and
+    refuses to construct without a model_dir)."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from portuguese_pt_legal_ner_ray.config import PipelineConfig
+    from portuguese_pt_legal_ner_ray.stages.extract import NerTripleStage
+
+    with _pytest.raises(ValueError, match="model_dir"):
+        NerTripleStage(PipelineConfig(tagger="hf"))
+
+    seen: dict = {}
+
+    class StubAuto:
+        config = types.SimpleNamespace(id2label=None)
+
+        @classmethod
+        def from_pretrained(cls, path):
+            seen.setdefault("paths", []).append(path)
+            return cls()
+
+        def eval(self):
+            return self
+
+    stub = types.ModuleType("transformers")
+    stub.AutoTokenizer = StubAuto
+    stub.AutoModelForTokenClassification = StubAuto
+    monkeypatch.setitem(sys.modules, "transformers", stub)
+
+    stage = NerTripleStage(PipelineConfig(tagger="hf", model_dir=str(tmp_path)))
+    assert seen["paths"] == [str(tmp_path)] * 2
+    # a real checkpoint defeats the vectorized can-match gate
+    assert stage.gate is None
