@@ -420,3 +420,158 @@ def kmeans_centroids(
         cents = cents.copy()
         cents[nonempty] = _norm_rows(sums[nonempty] / counts[nonempty, None])
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, query sublinearly (the 100-TB path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    vectors: Dataset,
+    index_dir,
+    n_cells: int = 128,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iters: int = 0,
+) -> np.ndarray:
+    """Build a cell-partitioned on-disk IVF index: ONE streamed assignment
+    pass writes parquet hive-partitioned by coarse cell (plus the tiny
+    centroid matrix next to it).
+
+    This is the genuinely sublinear serving path: :func:`ivf_topk` prunes
+    candidate EMISSION per batch but still pays the ``n x n_cells``
+    assignment matmul on every query set (a full-corpus pass — measured
+    slower than brute force for small query counts). With the index
+    persisted, :func:`ivf_query` reads ONLY the probed cell partitions, so
+    per-query-set I/O and compute both scale with ``nprobe / n_cells``,
+    independent of corpus size. Build cost amortizes across query sets, the
+    same trade every production ANN index makes. Partitioned output doubles
+    as resumable/rebalanceable storage (one directory per cell).
+    """
+    import shutil
+    from pathlib import Path
+
+    if train_iters > 0:
+        cents = kmeans_centroids(vectors, n_cells, train_iters, emb_col, id_col)
+    else:
+        cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
+    index = Path(index_dir)
+    if index.exists():
+        shutil.rmtree(index)
+    index.mkdir(parents=True)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _norm_rows(_emb_matrix(batch, emb_col))
+        cells = (mat @ ray.get(cents_ref).T).argmax(axis=1)
+        # cell is duplicated as a data column: hive partition values parse
+        # back as strings/dictionary depending on reader defaults, and the
+        # query path needs the int64 cell id per row
+        return batch.select([id_col, emb_col]).append_column(
+            "cell_id", pa.array(cells, pa.int64())
+        ).append_column("cell", pa.array(cells, pa.int64()))
+
+    (
+        vectors.map_batches(assign, batch_format="pyarrow")
+        # co-locate each cell before the partitioned write: without it every
+        # (block x cell) pair becomes its own tiny file (cells x blocks
+        # files) and query-time read planning dominates; sorted, each cell
+        # dir holds O(cell_bytes / block_size) contiguous files
+        .sort("cell")
+        .write_parquet(str(index / "cells"), partition_cols=["cell"])
+    )
+    np.save(index / "centroids.npy", cents)
+    return cents
+
+
+def ivf_query(
+    index_dir,
+    queries_ref,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Top-k over a persisted IVF index, touching only probed partitions.
+
+    Reads the union of the queries' ``nprobe`` closest cells' directories —
+    unprobed partitions are never opened (I/O-level pruning, provable by
+    deleting them; see the test) — then scores each batch against the
+    broadcast query matrix and emits per-query candidates restricted to
+    that query's own probe list. Output contract matches
+    :func:`brute_force_topk` (query_id, vec_id; self-hits dropped; ties by
+    ascending vec_id).
+    """
+    from pathlib import Path
+
+    index = Path(index_dir)
+    cents = np.load(index / "centroids.npy")
+    q = ray.get(queries_ref)
+    q_ids = q["ids"]
+    q_mat = _norm_rows(q["mat"])
+    q_probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    probe = {int(qid): set(map(int, cells)) for qid, cells in zip(q_ids, q_probe)}
+    union = sorted(int(c) for c in np.unique(q_probe))
+    paths = [str(f)
+             for c in union
+             for f in sorted((index / "cells" / f"cell={c}").glob("*.parquet"))
+             if (index / "cells" / f"cell={c}").is_dir()]
+    if not paths:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+        }))
+    probed = ray.data.read_parquet(paths, columns=[id_col, emb_col, "cell_id"])
+    probe_ref = ray.put(probe)
+
+    class ProbedPartial(_PartialTopK):
+        def __init__(self, queries_ref, k, emb_col, id_col):
+            super().__init__(queries_ref, k, emb_col, id_col)
+            # sorted int64 probe array per query, built once per actor
+            self.probe = {qid: np.fromiter(cells, np.int64)
+                          for qid, cells in ray.get(probe_ref).items()}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _norm_rows(_emb_matrix(batch, self.emb_col))
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+            sims = self.q_mat @ mat.T  # [nq, batch] — probed partitions only
+            q_out, id_out, sim_out = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(cells, self.probe[int(qid)])
+                if not mask.any():
+                    continue
+                cand = np.where(mask)[0]
+                order = cand[np.lexsort((ids[cand], -sims[qi, cand]))][: self.k + 1]
+                for ci in order:
+                    q_out.append(qid)
+                    id_out.append(ids[ci])
+                    sim_out.append(sims[qi, ci])
+            return pa.table({
+                "query_id": pa.array(q_out, pa.int64()),
+                "vec_id": pa.array(id_out, pa.int64()),
+                "sim": pa.array(sim_out, pa.float64()),
+            })
+
+    partials = probed.map_batches(
+        ProbedPartial,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   emb_col=emb_col, id_col=id_col),
+        concurrency=_pool_size(),
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        rows = sorted(
+            zip(group["sim"].to_pylist(), group["vec_id"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )
+        out = [v for s, v in rows if v != qid][:k]
+        return pa.table({
+            "query_id": pa.array([qid] * len(out), pa.int64()),
+            "vec_id": pa.array(out, pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

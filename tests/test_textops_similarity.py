@@ -505,3 +505,62 @@ def test_ivf_topk_prunes_unprobed_cells(ray_session):
     assert len(got) == 10
     assert (got["vec_id"] % 2 == 0).all(), "unprobed cluster leaked into top-k"
     assert 0 not in set(got["vec_id"])  # self excluded
+
+
+def test_ivf_index_build_query_prunes_io(ray_session, tmp_path):
+    """Persisted IVF index: full-probe query equals brute force exactly,
+    and a pruned query touches ONLY its probed cell partitions — proven by
+    deleting every unprobed partition dir and getting identical output."""
+    import shutil
+
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_query,
+        make_query_ref,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cells = 8
+    anchors = rng.normal(size=(n_cells, 8))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    mat = anchors[np.arange(400) % n_cells] + 0.1 * rng.normal(size=(400, 8))
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    qref = make_query_ref(vecs, [5, 6])
+    index = tmp_path / "ivf"
+    cents = ivf_build(vecs, index, n_cells=n_cells)
+    assert cents.shape == (n_cells, 8)
+    assert (index / "centroids.npy").exists()
+    cell_dirs = sorted(p.name for p in (index / "cells").iterdir() if p.is_dir())
+    assert len(cell_dirs) > 1  # clustered data spreads over cells
+
+    # full probe == exact brute force (same contract incl. self-exclusion)
+    exact = brute_force_topk(vecs, qref, k=10).to_pandas()
+    full = ivf_query(index, qref, k=10, nprobe=n_cells).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert full.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True))
+
+    # pruned probe: compute the probed union, delete every OTHER partition,
+    # and the result must be byte-identical — unprobed dirs are never read
+    nprobe = 2
+    q = ray.get(qref)
+    qm = q["mat"] / np.linalg.norm(q["mat"], axis=1, keepdims=True)
+    probed = np.unique(np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe])
+    before = ivf_query(index, qref, k=10, nprobe=nprobe).to_pandas()
+    for d in (index / "cells").iterdir():
+        if d.is_dir() and int(d.name.split("=")[1]) not in probed:
+            shutil.rmtree(d)
+    after = ivf_query(index, qref, k=10, nprobe=nprobe).to_pandas()
+    assert after.sort_values(key).reset_index(drop=True).equals(
+        before.sort_values(key).reset_index(drop=True))
+    # and the pruned answer is still high-recall on clustered data
+    ex = set(exact[exact["query_id"] == 5]["vec_id"])
+    ap = set(after[after["query_id"] == 5]["vec_id"])
+    assert len(ex & ap) >= 8
