@@ -288,6 +288,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
         return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4)
 
+    def ann_ivf_index_topk(sf_dir: str):
+        """Persisted cell-partitioned IVF index at FULL probe: builds the
+        on-disk index (stages/similarity.ivf_build — one streamed
+        assignment pass, hive-partitioned by cell), then answers from it
+        with nprobe = n_cells, which is exactly brute force — so the exact
+        cosine-top-k SQL oracle hash-checks the whole build+query path
+        (partition routing, cell ids, probed-partition read, scoring).
+        Sublinear partial-probe behavior is covered by
+        test_ivf_index_build_query_prunes_io and scripts/ivf_scaling.py."""
+        from pathlib import Path as _P
+
+        from portuguese_pt_legal_ner_ray.stages.similarity import (
+            ivf_build,
+            ivf_query,
+        )
+
+        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+        qref = make_query_ref(vecs, _ANN_QUERY_IDS)
+        index_dir = f"/tmp/kgray_ivf_index_{_P(sf_dir).name}"
+        ivf_build(vecs, index_dir, n_cells=16)
+        return ivf_query(index_dir, qref, k=10, nprobe=16)
+
     def doc_mlm_batches(sf_dir: str):
         """M5: MLM tokenize + deterministic 15% / 80-10-10 collator masking
         (per-row stats projected so the rows-only check can hash them; the
@@ -495,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top10_longest": docs_top10_longest,
         "lang_histogram": lang_histogram,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_index_topk": ann_ivf_index_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "doc_mlm_batches": doc_mlm_batches,
         "orders_price_quantiles": orders_price_quantiles,
@@ -689,6 +713,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
         "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])) AS sim
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.query_id),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, vec_id) AS rk
+                       FROM s)
+            SELECT query_id, vec_id FROM r WHERE rk <= 10""",
+        # full-probe IVF == exact brute force by construction, so the same
+        # exact top-k SQL is the oracle for the build+query index path
+        "ann_ivf_index_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                        WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
                  s AS (SELECT q.query_id, e.vec_id,
