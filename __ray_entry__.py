@@ -578,7 +578,15 @@ def oracle_sql() -> dict[str, str]:
     # same pattern as the kg_* goldens above
     from portuguese_pt_legal_ner_ray.oracle_mirrors import ensure_mirror_goldens
 
-    mir = ensure_mirror_goldens(f"/root/testdata/sf{sf:g}")
+    _td = Path(f"/root/testdata/sf{sf:g}")
+    if (_td / "documents.parquet").exists():
+        mir = ensure_mirror_goldens(_td)
+    else:
+        # scale-revalidation dirs (e.g. /tmp/sf1.0) synthesize only the
+        # webpages corpus — the documents/embeddings mirror oracles are
+        # undefined there; their SQL then points at a non-existent path and
+        # fails ONLY if one of those queries is explicitly selected
+        mir = _td / "mirrors-unavailable"
     from portuguese_pt_legal_ner_ray.corpus import CORPUS_VERSION as _CV
 
     # the engine run directory for this sf — the kg_triple_pr QUERY builds
