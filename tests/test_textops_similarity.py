@@ -564,3 +564,39 @@ def test_ivf_index_build_query_prunes_io(ray_session, tmp_path):
     ex = set(exact[exact["query_id"] == 5]["vec_id"])
     ap = set(after[after["query_id"] == 5]["vec_id"])
     assert len(ex & ap) >= 8
+
+
+def test_ivf_full_probe_equals_brute_on_random_vectors(ray_session, tmp_path):
+    """Property (randomized, fixed seeds): with nprobe = n_cells the
+    persisted-index path must equal brute force EXACTLY — no clustered
+    structure assumed, ties and self-exclusion included."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_query,
+        make_query_ref,
+    )
+
+    key = ["query_id", "vec_id"]
+    for seed, n, d, n_cells, k in [(0, 150, 4, 4, 5), (1, 97, 16, 7, 10),
+                                   (2, 64, 3, 16, 3)]:
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(n, d))
+        # inject exact duplicates so cosine ties exercise the vec_id
+        # tie-break identically on both paths
+        mat[n // 2] = mat[0]
+        mat[n // 2 + 1] = mat[1]
+        vecs = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }))
+        qref = make_query_ref(vecs, [0, 3, n - 1])
+        index = tmp_path / f"ivf_{seed}"
+        ivf_build(vecs, index, n_cells=n_cells)
+        exact = brute_force_topk(vecs, qref, k=k).to_pandas()
+        full = ivf_query(index, qref, k=k, nprobe=n_cells).to_pandas()
+        assert full.sort_values(key).reset_index(drop=True).equals(
+            exact.sort_values(key).reset_index(drop=True)), (seed, n, d)
