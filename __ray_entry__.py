@@ -297,7 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (partition routing, cell ids, probed-partition read, scoring).
         Sublinear partial-probe behavior is covered by
         test_ivf_index_build_query_prunes_io and scripts/ivf_scaling.py."""
-        from pathlib import Path as _P
+        import tempfile
 
         from portuguese_pt_legal_ner_ray.stages.similarity import (
             ivf_build,
@@ -307,7 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
                                   columns=["vec_id", "embedding"])
         qref = make_query_ref(vecs, _ANN_QUERY_IDS)
-        index_dir = f"/tmp/kgray_ivf_index_{_P(sf_dir).name}"
+        # fresh private dir per call: a fixed shared path would race a
+        # concurrent run's rebuild (rmtree while the other reads partitions)
+        index_dir = tempfile.mkdtemp(prefix="kgray_ivf_index_")
         ivf_build(vecs, index_dir, n_cells=16)
         return ivf_query(index_dir, qref, k=10, nprobe=16)
 

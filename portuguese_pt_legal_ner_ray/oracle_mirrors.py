@@ -220,8 +220,17 @@ def ensure_mirror_goldens(sf_dir: str | Path,
                           root: str = "/tmp/kgray_mirrors") -> Path:
     """Compute (once) and freeze the mirror tables for ``sf_dir``'s
     documents/embeddings; returns the golden directory."""
+    import hashlib
+
     sf_dir = Path(sf_dir)
-    d = Path(root) / MIRROR_VERSION / sf_dir.name
+    # cache key includes the SOURCE tables' identity (size + mtime), so a
+    # regenerated documents/embeddings parquet can never be silently
+    # compared against goldens frozen from the old corpus bytes
+    sig = hashlib.md5()
+    for t in ("documents.parquet", "embeddings.parquet"):
+        st = (sf_dir / t).stat()
+        sig.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    d = Path(root) / MIRROR_VERSION / f"{sf_dir.name}-{sig.hexdigest()[:10]}"
     if (d / "_DONE").exists():
         return d
     import tempfile

@@ -397,6 +397,10 @@ def run_kg_bench(input_dir: str | Path, out_dir: str | Path,
         mapping_ref = ray.put(mapping)
         n_linkable = len(linkable)
     else:
+        # the materialized slice served only the guard count on this branch;
+        # release it before the wide section so the pinned copy (large
+        # exactly when this branch runs) cannot force object-store spilling
+        del linkable_ds
         mentions = grouped_agg(
             partials_ds,
             ["key"],
@@ -495,8 +499,10 @@ def export_predictions_jsonl(out_dir: str | Path, jsonl_dir: str | Path) -> int:
         # offset-based slicing below assumes dense lists: a NULL list row
         # whose offsets aren't degenerate would mis-slice its neighbors
         # (flatten() drops null rows' values). The pipeline never writes
-        # null span lists, so enforce rather than silently fill.
-        assert lists.null_count == 0, "null spans list in extraction output"
+        # null span lists, so enforce rather than silently fill — as a real
+        # raise, not an assert, which `python -O` would strip.
+        if lists.null_count != 0:
+            raise ValueError("null spans list in extraction output")
         flat = lists.flatten()
         # columnar pulls + one zip: [start, end, "LABEL"] triplets in flat
         # span order, then sliced back to rows via the list offsets

@@ -458,6 +458,18 @@ def ivf_build(
         cents = deterministic_centroids(vectors, n_cells, emb_col, id_col)
     index = Path(index_dir)
     if index.exists():
+        # refuse to delete a directory that is not a previous index: an
+        # unconditional rmtree at a caller-supplied path would destroy
+        # arbitrary data on a typo (e.g. pointing at the corpus dir)
+        is_prior_index = (index / "centroids.npy").exists() or (
+            index.is_dir() and not any(index.iterdir())
+        )
+        if not is_prior_index:
+            raise FileExistsError(
+                f"{index} exists and does not look like a previous IVF index "
+                "(no centroids.npy); refusing to delete it — pass a fresh or "
+                "prior-index path"
+            )
         shutil.rmtree(index)
     index.mkdir(parents=True)
     cents_ref = ray.put(cents)

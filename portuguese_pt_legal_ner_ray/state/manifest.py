@@ -60,24 +60,43 @@ def model_artifact_sig(model_dir: str | Path) -> dict[str, Any]:
     The reference saves model+tokenizer with ``save_pretrained`` into
     ``{output_dir}/{experiment_name}`` (reference src/models.py:176-211) and
     records only the path; here the manifest additionally pins WHICH bytes
-    were at that path: a signature over every file's (relpath, size,
-    mtime_ns) plus the version the checkpoint declares in its
-    ``config.json`` (``model_version``, falling back to the HF
-    ``_name_or_path``/``name_or_path`` fields). Signature changes whenever
-    any artifact file is rewritten, so a retrained checkpoint at the SAME
-    path invalidates resume state instead of silently mixing model
-    generations in one output.
+    were at that path: per file (relpath, size, mtime_ns, md5 of the first
+    and last 64 KiB) — content-sensitive without reading multi-GB weight
+    files end-to-end (a retrained tensor payload differs in the sampled
+    blocks in practice, and metadata-preserving copies like ``cp -p`` /
+    ``rsync -a`` cannot defeat the block hashes), plus the version the
+    checkpoint declares in its ``config.json`` (``model_version``, falling
+    back to the HF ``_name_or_path``/``name_or_path`` fields). A changed
+    signature invalidates resume state, so a retrained checkpoint at the
+    SAME path re-runs partitions instead of silently mixing model
+    generations in one output. Caveat: a rewrite that is byte-identical in
+    both sampled blocks AND size AND mtime is indistinguishable — full
+    content hashing is the only stronger guarantee and costs a full read
+    of the artifact.
     """
     import hashlib
+
+    _BLK = 64 * 1024
+
+    def _block_md5(p: Path, size: int) -> str:
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            h.update(f.read(_BLK))
+            if size > _BLK:
+                f.seek(max(_BLK, size - _BLK))
+                h.update(f.read(_BLK))
+        return h.hexdigest()
 
     root = Path(model_dir)
     if not root.is_dir():
         raise FileNotFoundError(f"model_dir is not a directory: {root}")
-    rows = [
-        [str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns]
-        for p in sorted(root.rglob("*"))
-        if p.is_file()
-    ]
+    rows = []
+    for p in sorted(root.rglob("*")):
+        if not p.is_file():
+            continue
+        st = p.stat()
+        rows.append([str(p.relative_to(root)), st.st_size, st.st_mtime_ns,
+                     _block_md5(p, st.st_size)])
     version = None
     cfg_path = root / "config.json"
     if cfg_path.exists():
