@@ -97,6 +97,12 @@ def brute_force_topk(
                                    emb_col=emb_col, id_col=id_col),
         concurrency=_pool_size(),
     )
+    return _topk_reduce(partials, k, exclude_self=exclude_self)
+
+
+def _topk_reduce(partials: Dataset, k: int, exclude_self: bool = True) -> Dataset:
+    """Shared per-query final reduce over (query_id, vec_id, sim) partials:
+    top-k by (sim desc, vec_id asc), optionally dropping the self-hit."""
 
     def final_topk(group: pa.Table) -> pa.Table:
         qid = group["query_id"][0].as_py()
@@ -312,37 +318,14 @@ def ivf_topk(
             mat = _norm_rows(_emb_matrix(batch, self.emb_col))
             cells = (mat @ self.cents.T).argmax(axis=1)
             keep = np.isin(cells, self.union)
-            empty = pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
             if not keep.any():
-                return empty
+                return _EMPTY_CANDIDATES
             mat = mat[keep]
             cells = cells[keep]
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)[keep]
             sims = self.q_mat @ mat.T  # [nq, kept] — probed fraction only
-            q_out, id_out, sim_out = [], [], []
-            for qi, qid in enumerate(self.q_ids):
-                mask = np.isin(cells, self.probe[qid])
-                if not mask.any():
-                    continue
-                cand = np.where(mask)[0]
-                order = cand[np.lexsort((ids[cand], -sims[qi, cand]))][: self.k + 1]
-                for ci in order:
-                    q_out.append(qid)
-                    id_out.append(ids[ci])
-                    sim_out.append(sims[qi, ci])
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, pa.int64()),
-                    "vec_id": pa.array(id_out, pa.int64()),
-                    "sim": pa.array(sim_out, pa.float64()),
-                }
-            )
+            return _emit_probed_candidates(self.q_ids, self.k, sims, ids,
+                                           cells, self.probe)
 
     partials = vectors.map_batches(
         CellPartial,
@@ -351,22 +334,40 @@ def ivf_topk(
                                    emb_col=emb_col, id_col=id_col),
         concurrency=_pool_size(),
     )
+    return _topk_reduce(partials, k)
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        rows = sorted(
-            zip(group["sim"].to_pylist(), group["vec_id"].to_pylist()),
-            key=lambda r: (-r[0], r[1]),
-        )
-        out = [v for s, v in rows if v != qid][:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(out), pa.int64()),
-                "vec_id": pa.array(out, pa.int64()),
-            }
-        )
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+_EMPTY_CANDIDATES = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    }
+)
+
+
+def _emit_probed_candidates(q_ids, k, sims, ids, cells, probe) -> pa.Table:
+    """Per-query candidate emission restricted to that query's probe list:
+    the top-(k+1) rows by (sim desc, vec_id asc) among rows whose cell the
+    query probes (+1 so the final reduce can drop a self-hit)."""
+    q_out, id_out, sim_out = [], [], []
+    for qi, qid in enumerate(q_ids):
+        mask = np.isin(cells, probe[int(qid)])
+        if not mask.any():
+            continue
+        cand = np.where(mask)[0]
+        order = cand[np.lexsort((ids[cand], -sims[qi, cand]))][: k + 1]
+        for ci in order:
+            q_out.append(qid)
+            id_out.append(ids[ci])
+            sim_out.append(sims[qi, ci])
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "sim": pa.array(sim_out, pa.float64()),
+        }
+    )
 
 
 def kmeans_centroids(
@@ -523,12 +524,11 @@ def ivf_query(
     q_ids = q["ids"]
     q_mat = _norm_rows(q["mat"])
     q_probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
-    probe = {int(qid): set(map(int, cells)) for qid, cells in zip(q_ids, q_probe)}
-    union = sorted(int(c) for c in np.unique(q_probe))
+    probe = {int(qid): np.sort(cells).astype(np.int64)
+             for qid, cells in zip(q_ids, q_probe)}
     paths = [str(f)
-             for c in union
-             for f in sorted((index / "cells" / f"cell={c}").glob("*.parquet"))
-             if (index / "cells" / f"cell={c}").is_dir()]
+             for c in sorted(int(c) for c in np.unique(q_probe))
+             for f in sorted((index / "cells" / f"cell={c}").glob("*.parquet"))]
     if not paths:
         return ray.data.from_arrow(pa.table({
             "query_id": pa.array([], pa.int64()),
@@ -540,31 +540,15 @@ def ivf_query(
     class ProbedPartial(_PartialTopK):
         def __init__(self, queries_ref, k, emb_col, id_col):
             super().__init__(queries_ref, k, emb_col, id_col)
-            # sorted int64 probe array per query, built once per actor
-            self.probe = {qid: np.fromiter(cells, np.int64)
-                          for qid, cells in ray.get(probe_ref).items()}
+            self.probe = ray.get(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _norm_rows(_emb_matrix(batch, self.emb_col))
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)
             cells = batch["cell_id"].to_numpy(zero_copy_only=False)
             sims = self.q_mat @ mat.T  # [nq, batch] — probed partitions only
-            q_out, id_out, sim_out = [], [], []
-            for qi, qid in enumerate(self.q_ids):
-                mask = np.isin(cells, self.probe[int(qid)])
-                if not mask.any():
-                    continue
-                cand = np.where(mask)[0]
-                order = cand[np.lexsort((ids[cand], -sims[qi, cand]))][: self.k + 1]
-                for ci in order:
-                    q_out.append(qid)
-                    id_out.append(ids[ci])
-                    sim_out.append(sims[qi, ci])
-            return pa.table({
-                "query_id": pa.array(q_out, pa.int64()),
-                "vec_id": pa.array(id_out, pa.int64()),
-                "sim": pa.array(sim_out, pa.float64()),
-            })
+            return _emit_probed_candidates(self.q_ids, self.k, sims, ids,
+                                           cells, self.probe)
 
     partials = probed.map_batches(
         ProbedPartial,
@@ -573,17 +557,4 @@ def ivf_query(
                                    emb_col=emb_col, id_col=id_col),
         concurrency=_pool_size(),
     )
-
-    def final_topk(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        rows = sorted(
-            zip(group["sim"].to_pylist(), group["vec_id"].to_pylist()),
-            key=lambda r: (-r[0], r[1]),
-        )
-        out = [v for s, v in rows if v != qid][:k]
-        return pa.table({
-            "query_id": pa.array([qid] * len(out), pa.int64()),
-            "vec_id": pa.array(out, pa.int64()),
-        })
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return _topk_reduce(partials, k)
