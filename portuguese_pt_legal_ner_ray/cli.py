@@ -22,6 +22,10 @@ Mirrors the reference's subcommand CLI shape (reference src/cli.py:506-549,
 * ``export <out_dir> <jsonl_path>`` — write reference-format prediction
   records (one JSON object per paragraph, reference src/inference.py:160-166)
 * ``bench`` — delegate to bench.py's single run
+* ``ann-build <vectors.parquet> <index_dir>`` — persist the
+  cell-partitioned IVF index (stages/similarity.ivf_build)
+* ``ann-query <vectors.parquet> <index_dir> <id,id,...>`` — top-k from the
+  index, reading only the probed cell partitions
 
 Owns a Ray session when run as a script (guarded init per the driver
 contract).
@@ -99,6 +103,42 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    """Build the persisted cell-partitioned IVF index from a vector table."""
+    _ensure_ray()
+    from .sources.parquet import sized_read_parquet
+    from .stages.similarity import ivf_build
+
+    vecs = sized_read_parquet(args.vectors, columns=[args.id_col, args.emb_col])
+    cents = ivf_build(vecs, args.index_dir, n_cells=args.n_cells,
+                      emb_col=args.emb_col, id_col=args.id_col,
+                      train_iters=args.train_iters)
+    print(f"ivf index built: {args.index_dir} "
+          f"({cents.shape[0]} cells, dim {cents.shape[1]})")
+    return 0
+
+
+def cmd_ann_query(args: argparse.Namespace) -> int:
+    """Top-k over a persisted IVF index; query vectors come from a vector
+    table by id (reads only the probed cell partitions)."""
+    _ensure_ray()
+    from .sources.parquet import sized_read_parquet
+    from .stages.similarity import ivf_query, make_query_ref
+
+    vecs = sized_read_parquet(args.vectors, columns=[args.id_col, args.emb_col])
+    qref = make_query_ref(vecs, [int(q) for q in args.query_ids.split(",")],
+                          emb_col=args.emb_col, id_col=args.id_col)
+    out = ivf_query(args.index_dir, qref, k=args.k, nprobe=args.nprobe,
+                    emb_col=args.emb_col, id_col=args.id_col)
+    if args.out:
+        out.write_parquet(args.out)
+        print(f"wrote top-{args.k} results to {args.out}")
+    else:
+        for row in out.take_all():  # <= n_queries * k rows by construction
+            print(json.dumps(row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="kgray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -125,6 +165,26 @@ def main(argv: list[str] | None = None) -> int:
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)
+
+    ab = sub.add_parser("ann-build")
+    ab.add_argument("vectors")
+    ab.add_argument("index_dir")
+    ab.add_argument("--n-cells", type=int, default=128)
+    ab.add_argument("--train-iters", type=int, default=0)
+    ab.add_argument("--emb-col", default="embedding")
+    ab.add_argument("--id-col", default="vec_id")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    aq = sub.add_parser("ann-query")
+    aq.add_argument("vectors")
+    aq.add_argument("index_dir")
+    aq.add_argument("query_ids", help="comma-separated vector ids")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=4)
+    aq.add_argument("--emb-col", default="embedding")
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--out", default=None, help="parquet output dir (default: print)")
+    aq.set_defaults(fn=cmd_ann_query)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -326,3 +326,42 @@ def test_mlm_mask_batch_collator_semantics():
     # truncation at max_length
     long = pa.table({"text": pa.array([" ".join(["w"] * 700)], pa.string())})
     assert sum(mlm_mask_batch(long, max_length=512)["attention_mask"][0].as_py()) == 512
+
+
+def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
+    """ann-build persists the IVF index; ann-query at full probe answers
+    exactly like brute force from the CLI surface."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from portuguese_pt_legal_ner_ray.cli import main
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        make_query_ref,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(120, 6))
+    vec_path = tmp_path / "vectors.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }), vec_path)
+    index = tmp_path / "ivf"
+
+    assert main(["ann-build", str(vec_path), str(index), "--n-cells", "4"]) == 0
+    assert (index / "centroids.npy").exists()
+    capsys.readouterr()
+
+    out = tmp_path / "topk"
+    assert main(["ann-query", str(vec_path), str(index), "2,7",
+                 "--k", "5", "--nprobe", "4", "--out", str(out)]) == 0
+    got = ray.data.read_parquet(str(out)).to_pandas()
+    vecs = ray.data.read_parquet(str(vec_path))
+    exact = brute_force_topk(vecs, make_query_ref(vecs, [2, 7]), k=5).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True))
