@@ -96,6 +96,8 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
         timed("doc_simhash", lambda: q["doc_simhash"](sf_dir).count())
         timed("ann_cosine_topk", lambda: q["ann_cosine_topk"](sf_dir).count())
         timed("ann_ivf_topk", lambda: q["ann_ivf_topk"](sf_dir).count())
+        timed("ann_ivf_index_topk",
+              lambda: q["ann_ivf_index_topk"](sf_dir).count())
         timed("near_dup_minhash", lambda: q["near_dup_minhash"](sf_dir).count())
         timed("near_dup_ngram", lambda: q["near_dup_ngram"](sf_dir).count())
         timed("near_dup_embedding_ivf",
