@@ -350,6 +350,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = sized_read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
         return heavy_hitters(ev, "event_type", k=10, width=4096)
 
+    def events_distinct_users_per_type(sf_dir: str):
+        """Exact grouped COUNT DISTINCT: two bucketed combiner shuffles
+        (distinct pairs, then a count per group) — stages/shuffle.py."""
+        from portuguese_pt_legal_ner_ray.stages.shuffle import (
+            grouped_count_distinct,
+        )
+
+        ev = sized_read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "user_id"])
+        return grouped_count_distinct(ev, ["event_type"], "user_id")
+
+    def rel_customers_without_orders(sf_dir: str):
+        """Distributed anti equi-join (SQL NOT EXISTS): bucketed exchange,
+        probe side pre-filtered at the read and shipped as per-batch-distinct
+        keys only — stages/joins.py. Predicate (no order above 400k) keeps
+        the result non-degenerate at every testdata scale."""
+        import pyarrow.compute as _pc
+
+        from portuguese_pt_legal_ner_ray.stages.joins import hash_anti_join
+
+        def big_order_keys(t):
+            return t.filter(
+                _pc.greater(t["o_totalprice"], 400_000.0)
+            ).select(["o_custkey"]).rename_columns(["c_custkey"])
+
+        cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey"])
+        orders = sized_read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(big_order_keys, batch_format="pyarrow")
+        return hash_anti_join(cust, orders, key="c_custkey")
+
     def events_tumbling_hour(sf_dir: str):
         return tumbling_window(_events(sf_dir))
 
@@ -525,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mlm_batches": doc_mlm_batches,
         "orders_price_quantiles": orders_price_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
+        "events_distinct_users_per_type": events_distinct_users_per_type,
+        "rel_customers_without_orders": rel_customers_without_orders,
         "events_tumbling_hour": events_tumbling_hour,
         "events_sessionize": events_sessionize,
         "media_decode": media_decode,
@@ -756,6 +790,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.5, CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) FROM orders
             UNION ALL SELECT 0.75, CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) FROM orders
             UNION ALL SELECT 0.9, CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) FROM orders""",
+        "events_distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type""",
+        "rel_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c_custkey
+                                AND o.o_totalprice > 400000)""",
         "events_heavy_hitters": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10""",

@@ -225,3 +225,64 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64, bucket_post=None):
     return a_tagged.union(b_tagged).groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def hash_anti_join(ds_a, ds_b, key: str, num_buckets: int = 64):
+    """Rows of ``ds_a`` whose ``key`` appears NOWHERE in ``ds_b`` (SQL
+    ``NOT EXISTS`` / anti equi-join).
+
+    Same bucketed exchange as :func:`hash_join` — both sides routed by the
+    vectorized ``hash(key) % num_buckets`` so every occurrence of a key
+    co-locates — but the probe side ships ONLY its per-batch-distinct key
+    column (an anti join never reads right payloads), and each bucket is
+    resolved with one Arrow ``is_in`` mask: no pandas, no per-key work.
+    Exact at any parallelism.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_strings
+
+    sch = ds_a.schema()
+    a_fields = list(zip(sch.names, sch.types))
+    a_names = [n for n, _ in a_fields]
+    tagged_schema = pa.schema(
+        a_fields + [("__src", pa.int8()), ("__bucket", pa.int64())]
+    )
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        buckets = (hash_strings(pc.cast(t[key], pa.string()).combine_chunks())
+                   % np.uint64(num_buckets)).astype(np.int64)
+        cols = [pc.cast(t[n], ty) for n, ty in a_fields]
+        cols.append(pa.array(np.zeros(len(t), dtype=np.int8)))
+        cols.append(pa.array(buckets, pa.int64()))
+        return pa.table(dict(zip(tagged_schema.names, cols)))
+
+    key_type = dict(a_fields)[key]
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        # per-batch distinct keys only: the anti side's payload never
+        # crosses the wire, and repeats collapse before the shuffle
+        keys = pc.cast(t[key], key_type).combine_chunks().unique()
+        buckets = (hash_strings(pc.cast(keys, pa.string()))
+                   % np.uint64(num_buckets)).astype(np.int64)
+        cols = []
+        for n, ty in a_fields:
+            cols.append(keys if n == key else pa.nulls(len(keys), ty))
+        cols.append(pa.array(np.ones(len(keys), dtype=np.int8)))
+        cols.append(pa.array(buckets, pa.int64()))
+        return pa.table(dict(zip(tagged_schema.names, cols)))
+
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        left = g.filter(pc.equal(g["__src"], 0))
+        right_keys = g.filter(pc.equal(g["__src"], 1))[key].combine_chunks()
+        keep = pc.invert(
+            pc.is_in(left[key], value_set=right_keys.unique())
+        )
+        return left.filter(keep).select(a_names)
+
+    return (
+        ds_a.map_batches(tag_a, batch_format="pyarrow")
+        .union(ds_b.map_batches(tag_b, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(anti_bucket, batch_format="pyarrow")
+    )

@@ -163,6 +163,31 @@ def grouped_count(ds: Dataset, cols: list[str], alias: str = "count",
     )
 
 
+def grouped_count_distinct(ds: Dataset, group_cols: list[str], value_col: str,
+                           alias: str = "n_distinct",
+                           num_buckets: int = 64) -> Dataset:
+    """Exact ``groupby(group_cols).count(DISTINCT value_col)``.
+
+    Two bucketed combiner shuffles — the same shape ANSI SQL implies
+    (DISTINCT pairs, then a count per group), never a per-group set build:
+
+    1. :func:`grouped_count` over ``group_cols + [value_col]`` — per-batch
+       Arrow ``group_by`` collapses repeats before the shuffle, the bucket
+       merge leaves exactly one row per distinct (group, value) pair;
+    2. :func:`grouped_count` over ``group_cols`` counts those rows.
+
+    Both exchanges move pre-deduplicated pairs (bounded by the distinct
+    count, not the row count), so a hot group with billions of repeated
+    values ships each value once per block at most.
+    """
+    distinct_pairs = grouped_count(
+        ds.select_columns([*group_cols, value_col]),
+        [*group_cols, value_col], alias="__dup", num_buckets=num_buckets,
+    )
+    return grouped_count(distinct_pairs, group_cols, alias=alias,
+                         num_buckets=num_buckets)
+
+
 def grouped_agg(ds: Dataset, cols: list[str], agg_spec: dict[str, tuple[str, str]],
                 num_buckets: int = 64, pre_aggregated: bool = False) -> Dataset:
     """Exact grouped aggregation via the same bucket pattern.

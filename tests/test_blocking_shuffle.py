@@ -285,3 +285,75 @@ def test_heavy_hitters_warns_on_candidate_saturation(ray_session):
         out = heavy_hitters(ray.data.from_arrow(small), "v", k=5, width=4096)
     assert not any("candidate budget" in str(x.message) for x in w)
     assert out.iloc[0]["v"] == "a" and out.iloc[0]["n"] == 30
+
+
+def test_grouped_count_distinct_matches_pandas(ray_session):
+    """Exact grouped COUNT DISTINCT via two bucketed shuffles — identical
+    to the pandas nunique at any block split."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.shuffle import grouped_count_distinct
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcde"), 5000),
+        "v": rng.integers(0, 150, 5000),
+        "payload": rng.normal(size=5000),  # must be ignored by the op
+    })
+    want = df.groupby("g")["v"].nunique().rename("n_distinct").reset_index()
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        got = (grouped_count_distinct(ds, ["g"], "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got.equals(want.sort_values("g").reset_index(drop=True)), nblocks
+
+
+def test_hash_anti_join_matches_pandas(ray_session):
+    """Anti equi-join: duplicates on the left preserved, duplicate probe
+    keys collapse, empty probe side keeps everything, full overlap keeps
+    nothing (with the output schema intact)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import hash_anti_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 60, 400),
+        "val": rng.normal(size=400),
+    })
+    right = pd.DataFrame({"k": np.repeat(rng.integers(0, 60, 25), 3)})
+
+    def run(l, r):
+        return hash_anti_join(
+            ray.data.from_arrow(pa.Table.from_pandas(l, preserve_index=False)).repartition(5),
+            ray.data.from_arrow(pa.Table.from_pandas(r, preserve_index=False)).repartition(3),
+            key="k",
+        ).to_pandas().sort_values(["k", "val"]).reset_index(drop=True)
+
+    want = (left[~left["k"].isin(right["k"])]
+            .sort_values(["k", "val"]).reset_index(drop=True))
+    assert run(left, right).equals(want)
+
+    # empty probe side -> the whole left survives
+    got_all = run(left, right.iloc[:0])
+    assert got_all.equals(left.sort_values(["k", "val"]).reset_index(drop=True))
+
+    # full overlap -> empty result; block schema is preserved even though
+    # an all-empty Dataset's to_pandas drops columns (Ray quirk), so assert
+    # on count + Dataset.schema
+    empty = hash_anti_join(
+        ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        ray.data.from_arrow(pa.Table.from_pandas(
+            pd.DataFrame({"k": left["k"].unique()}), preserve_index=False)),
+        key="k",
+    )
+    assert empty.count() == 0
+    assert empty.schema().names == ["k", "val"]
