@@ -343,6 +343,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["o_totalprice"])
         return histogram_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9])
 
+    def orders_quantiles_per_priority(sf_dir: str):
+        """Exact per-group quantiles: one (group, value)-histogram combiner
+        shuffle, then group-bucketed rank picks — stages/sketches.py."""
+        from portuguese_pt_legal_ner_ray.stages.sketches import grouped_quantiles
+
+        orders = sized_read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"])
+        return grouped_quantiles(orders, ["o_orderpriority"], "o_totalprice",
+                                 [0.25, 0.5, 0.9])
+
     def events_heavy_hitters(sf_dir: str):
         """Count-min heavy hitters; width >> cardinality -> exact, SQL-checkable."""
         from portuguese_pt_legal_ner_ray.stages.sketches import heavy_hitters
@@ -557,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mlm_batches": doc_mlm_batches,
         "orders_price_quantiles": orders_price_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
+        "orders_quantiles_per_priority": orders_quantiles_per_priority,
         "events_distinct_users_per_type": events_distinct_users_per_type,
         "rel_customers_without_orders": rel_customers_without_orders,
         "events_tumbling_hour": events_tumbling_hour,
@@ -790,6 +802,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.5, CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) FROM orders
             UNION ALL SELECT 0.75, CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) FROM orders
             UNION ALL SELECT 0.9, CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) FROM orders""",
+        "orders_quantiles_per_priority": """
+            SELECT o_orderpriority, CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS value
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 0.5,
+                   CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE)
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 0.9,
+                   CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE)
+            FROM orders GROUP BY o_orderpriority""",
         "events_distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type""",

@@ -189,3 +189,50 @@ def histogram_quantiles(ds: Dataset, col: str, qs: list[float]) -> "pd.DataFrame
         idx = int(cum.searchsorted(rank, side="left"))
         out.append({"q": q, "value": float(hist[col].iloc[idx])})
     return pd.DataFrame(out)
+
+
+def grouped_quantiles(ds: Dataset, group_cols: list[str], value_col: str,
+                      qs: list[float], num_buckets: int = 64) -> Dataset:
+    """Exact discrete quantiles PER GROUP (DuckDB ``quantile_disc`` rule:
+    value at 1-indexed rank ``max(1, ceil(q*n))`` of the group's sorted
+    column).
+
+    Distributed shape: one :func:`~..stages.shuffle.grouped_count` combiner
+    shuffle builds the per-(group, value) histogram — the exchange carries
+    one row per DISTINCT (group, value), never one per input row — then the
+    histograms are bucket-routed BY GROUP so each group's rows co-locate,
+    and one vectorized-pandas UDF per bucket cumsums and rank-picks every
+    group it holds (a Python loop per group inside the bucket, the accepted
+    per-bucket pattern — never one Ray task per group). Same
+    bounded-value-cardinality caveat as :func:`histogram_quantiles`.
+    """
+    import math
+
+    import pandas as pd
+
+    from .shuffle import bucket_by, grouped_count
+
+    hist = grouped_count(ds.select_columns([*group_cols, value_col]),
+                         [*group_cols, value_col], alias="__n",
+                         num_buckets=num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*group_cols, value_col])
+        rows = []
+        for gkey, grp in df.groupby(group_cols, sort=False):
+            if not isinstance(gkey, tuple):
+                gkey = (gkey,)
+            cum = grp["__n"].cumsum()
+            total = int(cum.iloc[-1])
+            for q in qs:
+                rank = max(1, math.ceil(q * total))
+                idx = int(cum.searchsorted(rank, side="left"))
+                rows.append((*gkey, float(q), float(grp[value_col].iloc[idx])))
+        return pd.DataFrame(rows, columns=[*group_cols, "q", "value"])
+
+    return (
+        hist.map_batches(lambda t: bucket_by(t, group_cols),
+                         batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

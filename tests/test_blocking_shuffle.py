@@ -357,3 +357,41 @@ def test_hash_anti_join_matches_pandas(ray_session):
     )
     assert empty.count() == 0
     assert empty.schema().names == ["k", "val"]
+
+
+def test_grouped_quantiles_matches_pandas(ray_session):
+    """Per-group quantile_disc (value at 1-indexed rank max(1, ceil(q*n)))
+    — identical to a sequential rank pick at any block split, including
+    groups smaller than the quantile grid."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": ["solo"] + list(rng.choice(list("xyz"), 3000)),
+        "v": np.concatenate([[42.0], rng.integers(0, 500, 3000).astype(float)]),
+    })
+    qs = [0.25, 0.5, 0.9]
+
+    def seq(grp):
+        vals = np.sort(grp["v"].to_numpy())
+        return [(float(q), float(vals[max(1, math.ceil(q * len(vals))) - 1]))
+                for q in qs]
+
+    want = pd.DataFrame(
+        [(g, q, v) for g, grp in df.groupby("g") for q, v in seq(grp)],
+        columns=["g", "q", "value"],
+    ).sort_values(["g", "q"]).reset_index(drop=True)
+    for nblocks in (1, 6):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        got = (grouped_quantiles(ds, ["g"], "v", qs)
+               .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+        assert got.equals(want), nblocks
