@@ -393,6 +393,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(big_order_keys, batch_format="pyarrow")
         return hash_anti_join(cust, orders, key="c_custkey")
 
+    def events_running_total(sf_dir: str):
+        """Ordered analytic window (SUM OVER PARTITION BY ... ORDER BY):
+        key-bucketed exchange + one vectorized cumsum per bucket."""
+        from portuguese_pt_legal_ner_ray.stages.windows import cumulative_window
+
+        return cumulative_window(_events(sf_dir))
+
     def events_tumbling_hour(sf_dir: str):
         return tumbling_window(_events(sf_dir))
 
@@ -569,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": orders_price_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
         "orders_quantiles_per_priority": orders_quantiles_per_priority,
+        "events_running_total": events_running_total,
         "events_distinct_users_per_type": events_distinct_users_per_type,
         "rel_customers_without_orders": rel_customers_without_orders,
         "events_tumbling_hour": events_tumbling_hour,
@@ -814,6 +822,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, 0.9,
                    CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE)
             FROM orders GROUP BY o_orderpriority""",
+        "events_running_total": """
+            SELECT user_id, ts, event_id, value,
+                   SUM(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS running_sum
+            FROM events""",
         "events_distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type""",

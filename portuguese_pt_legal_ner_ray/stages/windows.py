@@ -176,3 +176,39 @@ def asof_last_event(events: Dataset, match_type: str = "click",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def cumulative_window(events: Dataset, key_col: str = "user_id",
+                      order_cols: tuple[str, str] = ("ts", "event_id"),
+                      value_col: str = "value",
+                      alias: str = "running_sum") -> Dataset:
+    """Ordered analytic window: per-key running sum, SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING)``.
+
+    Same exchange as :func:`sessionize`: keys route by
+    ``hash(key) % buckets`` so each key's full history co-locates, then one
+    vectorized pandas UDF per bucket (sort + per-key ``cumsum``) computes
+    every key it holds — never one task per key. The tie-break column in
+    ``order_cols`` makes the prefix order (and therefore every running
+    value) deterministic at any parallelism. Output: one row per input
+    event with the running aggregate attached.
+    """
+    from .shuffle import bucket_by
+
+    cols = [key_col, *order_cols, value_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bucket_by(t, [key_col])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        g[alias] = g.groupby(key_col, sort=False)[value_col].cumsum()
+        return g[[*cols, alias]]
+
+    return (
+        events.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

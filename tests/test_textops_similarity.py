@@ -600,3 +600,30 @@ def test_ivf_full_probe_equals_brute_on_random_vectors(ray_session, tmp_path):
         full = ivf_query(index, qref, k=k, nprobe=n_cells).to_pandas()
         assert full.sort_values(key).reset_index(drop=True).equals(
             exact.sort_values(key).reset_index(drop=True)), (seed, n, d)
+
+
+def test_cumulative_window_matches_pandas(ray_session):
+    """Per-key running sum: deterministic under ties (event_id tie-break)
+    and identical at any block split."""
+    import pandas as pd
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.windows import cumulative_window
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:00",  # same-ts tie, same user
+        "2024-01-01 11:00", "2024-01-01 09:00", "2024-01-01 12:00",
+    ])
+    events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([2, 1, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([10.0, 1.0, 5.0, 2.0, 3.0], pa.float64()),
+    }))
+    for parts in (1, 3):
+        ds = events if parts == 1 else events.repartition(parts)
+        got = (cumulative_window(ds).to_pandas()
+               .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True))
+        # user 1: tie at 10:00 orders by event_id -> 1.0, then +10, then +5
+        assert list(got[got["user_id"] == 1]["running_sum"]) == [1.0, 11.0, 16.0]
+        assert list(got[got["user_id"] == 2]["running_sum"]) == [2.0, 5.0]
