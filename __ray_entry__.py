@@ -343,6 +343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["o_totalprice"])
         return histogram_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9])
 
+    def doc_top_terms(sf_dir: str):
+        """tf-idf-shaped per-doc top terms (integer-exact ranking):
+        token explode -> tf/df combiner shuffles -> hash_join -> per-doc
+        top-k — stages/textops.py."""
+        return textops.top_terms_per_doc(_docs(sf_dir), k=3)
+
     def orders_quantiles_per_priority(sf_dir: str):
         """Exact per-group quantiles: one (group, value)-histogram combiner
         shuffle, then group-bucketed rank picks — stages/sketches.py."""
@@ -575,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mlm_batches": doc_mlm_batches,
         "orders_price_quantiles": orders_price_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
+        "doc_top_terms": doc_top_terms,
         "orders_quantiles_per_priority": orders_quantiles_per_priority,
         "events_running_total": events_running_total,
         "events_distinct_users_per_type": events_distinct_users_per_type,
@@ -810,6 +817,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.5, CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) FROM orders
             UNION ALL SELECT 0.75, CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) FROM orders
             UNION ALL SELECT 0.9, CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) FROM orders""",
+        "doc_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, t.term
+              FROM documents, unnest(regexp_extract_all(lower(text), '\\S+')) AS t(term)
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                                            ORDER BY tf.tf DESC, df.df, tf.term) AS rk
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, df FROM r WHERE rk <= 3""",
         "orders_quantiles_per_priority": """
             SELECT o_orderpriority, CAST(0.25 AS DOUBLE) AS q,
                    CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS value

@@ -156,3 +156,60 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "simhash": pa.array(sh, pa.uint64()),
         }
     )
+
+
+def top_terms_per_doc(docs, k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document top-``k`` characteristic terms — the tf-idf shape with
+    an integer-exact ranking: terms ordered by (term frequency DESC,
+    document frequency ASC, term ASC), so frequent-in-this-doc but
+    rare-in-the-corpus terms rank first and every comparison is integer /
+    string (no float idf to drift against an oracle).
+
+    Distributed shape (all exchanges carry aggregates, never tokens):
+
+    1. token explode — Arrow RE2 ``split_pattern_regex`` on the lowercased
+       text (offset-aware kernels; boundary empties filtered) == RE2
+       ``\\S+`` extraction, the oracle's tokenizer;
+    2. ``grouped_count(doc, term)`` -> per-doc term frequencies (combiner
+       shuffle, one row per distinct (doc, term));
+    3. ``grouped_count(term)`` over those rows -> document frequencies
+       (rows are already distinct per doc, so a plain count IS the df);
+    4. ``hash_join`` df back onto tf (vocabulary-scale side — a broadcast
+       would not hold at web scale);
+    5. per-doc top-k: per-batch combiner head-k, then doc-bucketed final
+       head-k — one vectorized pandas pass per bucket.
+    """
+    import pandas as pd
+
+    from .joins import hash_join
+    from .shuffle import bucket_by, grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        doc_ids = pc.take(batch[id_col], pc.list_parent_indices(toks))
+        t = pa.table({id_col: doc_ids, "term": flat})
+        return t.filter(pc.not_equal(t["term"], ""))
+
+    tf = grouped_count(docs.select_columns([id_col, text_col])
+                       .map_batches(explode, batch_format="pyarrow"),
+                       [id_col, "term"], alias="tf", num_buckets=num_buckets)
+    df = grouped_count(tf.select_columns(["term"]), ["term"], alias="df",
+                       num_buckets=num_buckets)
+    joined = hash_join(tf, df, key="term", num_buckets=num_buckets)
+
+    sort_cols = [id_col, "tf", "df", "term"]
+    ascending = [True, False, True, True]
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return g.groupby(id_col, sort=False).head(k)[[id_col, "term", "tf", "df"]]
+
+    return (
+        joined.map_batches(head_k, batch_format="pandas")  # combiner
+        .map_batches(lambda t: bucket_by(t, [id_col]), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(head_k, batch_format="pandas")
+    )

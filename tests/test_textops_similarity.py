@@ -627,3 +627,32 @@ def test_cumulative_window_matches_pandas(ray_session):
         # user 1: tie at 10:00 orders by event_id -> 1.0, then +10, then +5
         assert list(got[got["user_id"] == 1]["running_sum"]) == [1.0, 11.0, 16.0]
         assert list(got[got["user_id"] == 2]["running_sum"]) == [2.0, 5.0]
+
+
+def test_top_terms_per_doc_ranking(ray_session):
+    """tf desc, then df asc (rarer across docs wins), then term asc; stable
+    at any block split."""
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages import textops
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "raro raro comum unico",     # tf(raro)=2; unico df=1 beats comum df=3
+            "comum Comum outro",         # lowercasing folds Comum into comum
+            "comum outro outro",
+        ], pa.string()),
+    }))
+    for parts in (1, 3):
+        ds = docs if parts == 1 else docs.repartition(parts)
+        got = (textops.top_terms_per_doc(ds, k=2).to_pandas()
+               .sort_values(["doc_id", "tf", "df", "term"],
+                            ascending=[True, False, True, True])
+               .reset_index(drop=True))
+        d1 = got[got["doc_id"] == 1]
+        assert list(d1["term"]) == ["raro", "unico"]  # tf=2 first, df=1 beats df=3
+        d2 = got[got["doc_id"] == 2]
+        assert list(d2["term"]) == ["comum", "outro"]
+        assert int(d2[d2["term"] == "comum"]["tf"].iloc[0]) == 2  # case-folded
+        assert int(d2[d2["term"] == "comum"]["df"].iloc[0]) == 3
