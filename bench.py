@@ -100,6 +100,7 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
               lambda: q["ann_ivf_index_topk"](sf_dir).count())
         timed("near_dup_minhash", lambda: q["near_dup_minhash"](sf_dir).count())
         timed("near_dup_ngram", lambda: q["near_dup_ngram"](sf_dir).count())
+        timed("doc_top_terms", lambda: q["doc_top_terms"](sf_dir).count())
         timed("near_dup_embedding_ivf",
               lambda: q["near_dup_embedding_ivf"](sf_dir).count())
         timed("events_heavy_hitters", lambda: q["events_heavy_hitters"](sf_dir))
