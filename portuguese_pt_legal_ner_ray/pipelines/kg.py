@@ -58,7 +58,19 @@ def ner_map_batches_kwargs(cfg: PipelineConfig) -> dict:
 
     ``cfg.ner_ray_remote_args`` (e.g. ``{"num_gpus": 0.25}`` for a real
     HF checkpoint) is splatted last so accelerator/CPU claims reach Ray's
-    actor scheduler — SURVEY.md §2.3 A1's ``num_gpus=g`` mapping."""
+    actor scheduler — SURVEY.md §2.3 A1's ``num_gpus=g`` mapping. It is a
+    placement-only knob (excluded from the resume fingerprint), so keys
+    that would change outputs or batching are rejected."""
+    reserved = {"batch_format", "batch_size", "concurrency",
+                "fn_constructor_kwargs"}
+    bad = reserved & set(cfg.ner_ray_remote_args or {})
+    if bad:
+        raise ValueError(
+            f"ner_ray_remote_args may only carry Ray placement kwargs "
+            f"(num_gpus/num_cpus/resources/...); reserved keys {sorted(bad)} "
+            f"would change outputs without invalidating resume — set them "
+            f"via the dedicated PipelineConfig fields instead."
+        )
     kwargs: dict = dict(
         batch_format="pyarrow",
         batch_size=cfg.ner_batch_size,

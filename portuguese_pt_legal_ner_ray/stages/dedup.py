@@ -391,7 +391,11 @@ def _ngram_keep(t: "pa.Table", threshold: float, max_gram_df: int) -> "pa.Table"
     import warnings
 
     id_a = t["id_a"].to_numpy(zero_copy_only=False)
-    sentinel = id_a == -1
+    id_b = t["id_b"].to_numpy(zero_copy_only=False)
+    # The capped-gram sentinel is id_a == id_b == -1 — match it exactly so
+    # a corpus that legitimately uses doc_id -1 keeps its real pairs (pair
+    # generation emits id_a < id_b, so no real pair can have id_a == id_b).
+    sentinel = (id_a == -1) & (id_b == -1)
     if sentinel.any():
         n_capped = int(t["ni"].to_numpy(zero_copy_only=False)[sentinel].sum())
         warnings.warn(

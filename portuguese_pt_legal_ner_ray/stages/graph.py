@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
@@ -32,12 +33,15 @@ def build_nodes(mentions_ds: Dataset, comp_ds: Dataset) -> Dataset:
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        comps = batch["comp"].to_pylist()
+        # Arrow-native "LABEL|surface" -> "LABEL": split at the first '|'.
+        label = pc.list_element(
+            pc.split_pattern(batch["comp"], pattern="|", max_splits=1), 0
+        )
         return pa.table(
             {
                 "entity_id": batch["comp"],
                 "canonical_surface": batch["canonical_surface"],
-                "label": pa.array([c.split("|", 1)[0] for c in comps], pa.string()),
+                "label": pc.cast(label, pa.string()),
                 "n_mentions": batch["n_mentions"],
             }
         )

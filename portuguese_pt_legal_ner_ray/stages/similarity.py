@@ -450,6 +450,7 @@ def ivf_build(
     same trade every production ANN index makes. Partitioned output doubles
     as resumable/rebalanceable storage (one directory per cell).
     """
+    import os
     import shutil
     from pathlib import Path
 
@@ -471,8 +472,15 @@ def ivf_build(
                 "(no centroids.npy); refusing to delete it — pass a fresh or "
                 "prior-index path"
             )
-        shutil.rmtree(index)
-    index.mkdir(parents=True)
+    # Build into a temp sibling and atomically publish: the target path is
+    # always either absent, a complete prior index, or the complete new one —
+    # a crash mid-build can never leave a half-written dir that the
+    # prior-index guard above would then refuse to replace.
+    index.parent.mkdir(parents=True, exist_ok=True)
+    for stale in index.parent.glob(f".{index.name}.build-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    build = index.parent / f".{index.name}.build-{os.getpid()}"
+    build.mkdir(parents=True)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -492,9 +500,19 @@ def ivf_build(
         # files) and query-time read planning dominates; sorted, each cell
         # dir holds O(cell_bytes / block_size) contiguous files
         .sort("cell")
-        .write_parquet(str(index / "cells"), partition_cols=["cell"])
+        .write_parquet(str(build / "cells"), partition_cols=["cell"])
     )
-    np.save(index / "centroids.npy", cents)
+    np.save(build / "centroids.npy", cents)
+    if index.exists():
+        shutil.rmtree(index)
+    try:
+        os.replace(build, index)
+    except OSError:
+        # a concurrent build published the same path first; theirs is
+        # complete (publish is atomic), so drop ours and use it
+        if not (index / "centroids.npy").exists():
+            raise
+        shutil.rmtree(build, ignore_errors=True)
     return cents
 
 

@@ -163,6 +163,26 @@ def test_ner_remote_args_reach_map_batches(mini_run, tmp_path, monkeypatch):
     assert recorded.get("batch_size") == cfg.ner_batch_size
 
 
+def test_ner_remote_args_reject_reserved_keys():
+    """ner_ray_remote_args is placement-only (excluded from the resume
+    fingerprint): output-affecting keys must be rejected, or a silent
+    override would resume past stale partitions (ADVICE r4 #3)."""
+    import pytest
+
+    from portuguese_pt_legal_ner_ray.pipelines.kg import ner_map_batches_kwargs
+
+    for bad in ("batch_format", "batch_size", "concurrency",
+                "fn_constructor_kwargs"):
+        with pytest.raises(ValueError, match="reserved"):
+            ner_map_batches_kwargs(
+                PipelineConfig(ner_ray_remote_args={bad: 1}))
+    # placement keys still pass through (ner_concurrency pinned so the
+    # check stays a pure unit test — no ray.cluster_resources() needed)
+    kw = ner_map_batches_kwargs(
+        PipelineConfig(ner_ray_remote_args={"num_cpus": 2}, ner_concurrency=4))
+    assert kw["num_cpus"] == 2
+
+
 def test_remote_args_excluded_from_resume_fingerprint(mini_run, tmp_path):
     """Changing ner_ray_remote_args (a pure placement knob) must NOT
     invalidate finished partitions on resume."""

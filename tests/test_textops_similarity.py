@@ -478,6 +478,19 @@ def test_ngram_cap_sentinel_warns_and_is_stripped():
         warnings.simplefilter("error")
         out2 = _ngram_keep(clean, threshold=0.5, max_gram_df=4096)
     assert out2.num_rows == 1
+    # a corpus legitimately using doc_id -1 is NOT the sentinel (the
+    # sentinel is id_a == id_b == -1; real pairs always have id_a < id_b)
+    real = pa.table({
+        "id_a": pa.array([-1], pa.int64()),
+        "id_b": pa.array([2], pa.int64()),
+        "na": pa.array([10], pa.int64()),
+        "nb": pa.array([10], pa.int64()),
+        "ni": pa.array([9], pa.int64()),
+    })
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out3 = _ngram_keep(real, threshold=0.5, max_gram_df=4096)
+    assert out3.to_pydict() == {"id_a": [-1], "id_b": [2]}
 
 
 def test_ivf_topk_prunes_unprobed_cells(ray_session):
@@ -656,3 +669,59 @@ def test_top_terms_per_doc_ranking(ray_session):
         assert list(d2["term"]) == ["comum", "outro"]
         assert int(d2[d2["term"] == "comum"]["tf"].iloc[0]) == 2  # case-folded
         assert int(d2[d2["term"] == "comum"]["df"].iloc[0]) == 3
+
+
+def test_ivf_build_atomic_publish_survives_interrupt(ray_session, tmp_path):
+    """A crash mid-build must never brick the index path: ivf_build stages
+    into a temp sibling and publishes atomically, so the target is always
+    absent, a complete prior index, or the complete new one (ADVICE r4 #2).
+    Simulated by failing the partitioned write, then rebuilding."""
+    import numpy as np
+    import pytest
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_query,
+        make_query_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, 4))
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    index = tmp_path / "ivf_atomic"
+
+    # 1) interrupt the first build after the temp dir exists but before
+    #    publish: poison the Dataset write
+    class Boom(RuntimeError):
+        pass
+
+    def exploding(batch):
+        raise Boom("injected crash mid-build")
+
+    with pytest.raises(Exception):
+        ivf_build(vecs.map_batches(exploding, batch_format="pyarrow"),
+                  index, n_cells=4)
+    # target path untouched — no half-written dir blocking the guard
+    assert not index.exists()
+
+    # 2) a plain rebuild at the SAME path succeeds and serves exact results
+    ivf_build(vecs, index, n_cells=4)
+    assert (index / "centroids.npy").exists()
+    # stale .build-* temp dirs are cleaned up by the successful build
+    assert not list(index.parent.glob(f".{index.name}.build-*"))
+    qref = make_query_ref(vecs, [0, 59])
+    key = ["query_id", "vec_id"]
+    exact = brute_force_topk(vecs, qref, k=5).to_pandas()
+    got = ivf_query(index, qref, k=5, nprobe=4).to_pandas()
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True))
+
+    # 3) rebuilding over a complete prior index also succeeds (guard allows)
+    ivf_build(vecs, index, n_cells=4)
+    assert (index / "centroids.npy").exists()
