@@ -95,7 +95,24 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
         timed("doc_langid", lambda: q["doc_langid"](sf_dir).count())
         timed("doc_simhash", lambda: q["doc_simhash"](sf_dir).count())
         timed("ann_cosine_topk", lambda: q["ann_cosine_topk"](sf_dir).count())
-        timed("ann_ivf_topk", lambda: q["ann_ivf_topk"](sf_dir).count())
+
+        def one_shot_ivf():
+            # the deprecated no-index fallback, kept as a bench comparison
+            # row against the persisted-index path (not gate-registered)
+            from portuguese_pt_legal_ner_ray.sources.parquet import (
+                sized_read_parquet,
+            )
+            from portuguese_pt_legal_ner_ray.stages.similarity import (
+                ivf_topk,
+                make_query_ref,
+            )
+
+            vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                                      columns=["vec_id", "embedding"])
+            qref = make_query_ref(vecs, [0, 1, 2, 3, 4])
+            return ivf_topk(vecs, qref, k=10, n_cells=16, nprobe=4).count()
+
+        timed("ann_ivf_topk", one_shot_ivf)
         timed("ann_ivf_index_topk",
               lambda: q["ann_ivf_index_topk"](sf_dir).count())
         timed("near_dup_minhash", lambda: q["near_dup_minhash"](sf_dir).count())
@@ -105,6 +122,10 @@ def run_once(sf_dir: str, num_cpus: int, kg_only: bool = False) -> dict:
               lambda: q["near_dup_embedding_ivf"](sf_dir).count())
         timed("events_heavy_hitters", lambda: q["events_heavy_hitters"](sf_dir))
         timed("orders_price_quantiles", lambda: q["orders_price_quantiles"](sf_dir))
+        timed("orders_price_quantiles_sketch",
+              lambda: q["orders_price_quantiles_sketch"](sf_dir))
+        timed("rel_returned_lineitems_by_order_line",
+              lambda: q["rel_returned_lineitems_by_order_line"](sf_dir).count())
         timed("events_tumbling_hour", lambda: q["events_tumbling_hour"](sf_dir).count())
         timed("events_sessionize", lambda: q["events_sessionize"](sf_dir).count())
 

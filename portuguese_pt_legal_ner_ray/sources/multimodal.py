@@ -137,7 +137,13 @@ def resize_metadata(decoded: Dataset, max_side: int = 256) -> Dataset:
             new_h.append(nh)
         return pa.table(
             {
+                # decode metadata passes through so one downstream check
+                # covers the whole decode -> plan chain
                 "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "n_bytes": batch["n_bytes"],
+                "decode_ok": batch["decode_ok"],
                 "new_width": pa.array(new_w, pa.int64()),
                 "new_height": pa.array(new_h, pa.int64()),
             }
@@ -218,7 +224,14 @@ def resample_plan(decoded: Dataset, target_rate: int = 16000) -> Dataset:
         out = [n * target_rate // r if r else 0 for r, n in zip(rates, ns)]
         return pa.table(
             {
+                # decode metadata passes through so one downstream check
+                # covers the whole decode -> plan chain
                 "doc_id": batch["doc_id"],
+                "sample_rate": batch["sample_rate"],
+                "n_samples": batch["n_samples"],
+                "duration_ms": batch["duration_ms"],
+                "n_bytes": batch["n_bytes"],
+                "decode_ok": batch["decode_ok"],
                 "target_rate": pa.array([target_rate] * len(out), pa.int64()),
                 "out_samples": pa.array(out, pa.int64()),
             }

@@ -128,8 +128,33 @@ class BroadcastLookup:
         return batch
 
 
-def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64, bucket_post=None):
-    """Inner equi-join of two Datasets on ``key`` via a bucketed hash shuffle.
+def _key_list(key) -> list[str]:
+    """Normalize ``key`` (one column name or a list for composite-key
+    equi-joins, e.g. ``["url", "para_idx"]``) to a list."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _bucket_hash(t: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
+    """hash(joined key cols) % num_buckets — the same kernel as
+    ``shuffle.bucket_by`` (single definition of separator + hash) so every
+    occurrence of a composite key co-locates regardless of which stage
+    routed it. For a single key the join is the identity, so single-key
+    routing is byte-identical to the pre-composite behavior."""
+    import pyarrow.compute as pc
+
+    from .shuffle import _SEP, hash_strings
+
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(t[k], pa.string()) for k in keys], _SEP
+    )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return (hash_strings(joined) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def hash_join(ds_a, ds_b, key, num_buckets: int = 64, bucket_post=None):
+    """Inner equi-join of two Datasets on ``key`` (a column name, or a LIST
+    of names for a composite key) via a bucketed hash shuffle.
 
     Used when neither side fits a broadcast (e.g. canonical-id application at
     10^12-doc scale). Rows are routed by ``hash(key) % num_buckets`` and each
@@ -159,43 +184,44 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64, bucket_post=None):
             out[n] = t
         return out
 
+    keys = _key_list(key)
     fa, fb = _fields(ds_a), _fields(ds_b)
-    a_cols = [c for c in fa if c != key]
-    b_cols = [c for c in fb if c != key]
+    missing = [k for k in keys if k not in fa or k not in fb]
+    if missing:
+        raise ValueError(f"hash_join key columns missing from a side: {missing}")
+    a_cols = [c for c in fa if c not in keys]
+    b_cols = [c for c in fb if c not in keys]
     overlap = set(a_cols) & set(b_cols)
     if overlap:
         raise ValueError(f"hash_join payload columns must be disjoint: {overlap}")
-    all_cols = [key, *a_cols, *b_cols, "__src"]
     out_schema = pa.schema(
-        [(key, fa[key])] + [(c, fa[c]) for c in a_cols] + [(c, fb[c]) for c in b_cols]
+        [(k, fa[k]) for k in keys] + [(c, fa[c]) for c in a_cols]
+        + [(c, fb[c]) for c in b_cols]
     )
 
     import pyarrow.compute as pc
 
-    from .shuffle import hash_strings
-
     # one shared tagged schema both sides reindex to (missing payload
     # columns become typed nulls), so union blocks agree on layout
     tagged_schema = pa.schema(
-        [(key, fa[key])] + [(c, fa[c]) for c in a_cols]
+        [(k, fa[k]) for k in keys] + [(c, fa[c]) for c in a_cols]
         + [(c, fb[c]) for c in b_cols]
         + [("__src", pa.int8()), ("__bucket", pa.int64())]
     )
 
     def tag(src: int, own_cols: list[str]):
         # Arrow-native tag: no pandas copy per batch; the bucket is the
-        # shared vectorized string hash of the key column
+        # shared vectorized string hash of the (composite) key columns
         def f(t: pa.Table) -> pa.Table:
             n = len(t)
-            buckets = (hash_strings(pc.cast(t[key], pa.string()).combine_chunks())
-                       % np.uint64(num_buckets)).astype(np.int64)
+            buckets = _bucket_hash(t, keys, num_buckets)
             cols = []
             for field in tagged_schema:
                 if field.name == "__src":
                     cols.append(pa.array(np.full(n, src, dtype=np.int8)))
                 elif field.name == "__bucket":
                     cols.append(pa.array(buckets, pa.int64()))
-                elif field.name == key or field.name in own_cols:
+                elif field.name in keys or field.name in own_cols:
                     cols.append(pc.cast(t[field.name], field.type))
                 else:
                     cols.append(pa.nulls(n, field.type))
@@ -207,9 +233,9 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64, bucket_post=None):
         # filter sides in Arrow FIRST so each side's pandas view has no
         # nulls (a null-bearing int64 column would float64-promote and
         # corrupt ids above 2^53 in the merge)
-        left = g.filter(pc.equal(g["__src"], 0)).select([key, *a_cols]).to_pandas()
-        right = g.filter(pc.equal(g["__src"], 1)).select([key, *b_cols]).to_pandas()
-        merged = left.merge(right, on=key, how="inner")
+        left = g.filter(pc.equal(g["__src"], 0)).select([*keys, *a_cols]).to_pandas()
+        right = g.filter(pc.equal(g["__src"], 1)).select([*keys, *b_cols]).to_pandas()
+        merged = left.merge(right, on=keys, how="inner")
         if bucket_post is not None:
             return bucket_post(merged)
         # explicit schema so empty groups still emit typed Arrow blocks;
@@ -227,56 +253,68 @@ def hash_join(ds_a, ds_b, key: str, num_buckets: int = 64, bucket_post=None):
     )
 
 
-def hash_anti_join(ds_a, ds_b, key: str, num_buckets: int = 64):
-    """Rows of ``ds_a`` whose ``key`` appears NOWHERE in ``ds_b`` (SQL
-    ``NOT EXISTS`` / anti equi-join).
+def hash_anti_join(ds_a, ds_b, key, num_buckets: int = 64):
+    """Rows of ``ds_a`` whose ``key`` (one column or a composite key list)
+    appears NOWHERE in ``ds_b`` (SQL ``NOT EXISTS`` / anti equi-join).
 
     Same bucketed exchange as :func:`hash_join` — both sides routed by the
     vectorized ``hash(key) % num_buckets`` so every occurrence of a key
     co-locates — but the probe side ships ONLY its per-batch-distinct key
-    column (an anti join never reads right payloads), and each bucket is
-    resolved with one Arrow ``is_in`` mask: no pandas, no per-key work.
-    Exact at any parallelism.
+    column(s) (an anti join never reads right payloads), and each bucket is
+    resolved with one Arrow ``is_in`` mask over the joined key string: no
+    pandas, no per-key work. Exact at any parallelism.
     """
     import pyarrow.compute as pc
 
-    from .shuffle import hash_strings
+    from .shuffle import _SEP
 
+    keys = _key_list(key)
     sch = ds_a.schema()
     a_fields = list(zip(sch.names, sch.types))
     a_names = [n for n, _ in a_fields]
+    a_types = dict(a_fields)
+    missing = [k for k in keys if k not in a_types]
+    if missing:
+        raise ValueError(f"hash_anti_join key columns missing from ds_a: {missing}")
     tagged_schema = pa.schema(
         a_fields + [("__src", pa.int8()), ("__bucket", pa.int64())]
     )
 
     def tag_a(t: pa.Table) -> pa.Table:
-        buckets = (hash_strings(pc.cast(t[key], pa.string()).combine_chunks())
-                   % np.uint64(num_buckets)).astype(np.int64)
+        buckets = _bucket_hash(t, keys, num_buckets)
         cols = [pc.cast(t[n], ty) for n, ty in a_fields]
         cols.append(pa.array(np.zeros(len(t), dtype=np.int8)))
         cols.append(pa.array(buckets, pa.int64()))
         return pa.table(dict(zip(tagged_schema.names, cols)))
 
-    key_type = dict(a_fields)[key]
-
     def tag_b(t: pa.Table) -> pa.Table:
-        # per-batch distinct keys only: the anti side's payload never
+        # per-batch distinct key tuples only: the anti side's payload never
         # crosses the wire, and repeats collapse before the shuffle
-        keys = pc.cast(t[key], key_type).combine_chunks().unique()
-        buckets = (hash_strings(pc.cast(keys, pa.string()))
-                   % np.uint64(num_buckets)).astype(np.int64)
+        kt = pa.table(
+            {k: pc.cast(t[k], a_types[k]) for k in keys}
+        ).group_by(keys).aggregate([])
+        buckets = _bucket_hash(kt, keys, num_buckets)
         cols = []
         for n, ty in a_fields:
-            cols.append(keys if n == key else pa.nulls(len(keys), ty))
-        cols.append(pa.array(np.ones(len(keys), dtype=np.int8)))
+            cols.append(kt[n].combine_chunks() if n in keys
+                        else pa.nulls(len(kt), ty))
+        cols.append(pa.array(np.ones(len(kt), dtype=np.int8)))
         cols.append(pa.array(buckets, pa.int64()))
         return pa.table(dict(zip(tagged_schema.names, cols)))
 
+    def _joined_key(t: pa.Table):
+        if len(keys) == 1:
+            return t[keys[0]].combine_chunks()
+        j = pc.binary_join_element_wise(
+            *[pc.cast(t[k], pa.string()) for k in keys], _SEP
+        )
+        return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+
     def anti_bucket(g: pa.Table) -> pa.Table:
         left = g.filter(pc.equal(g["__src"], 0))
-        right_keys = g.filter(pc.equal(g["__src"], 1))[key].combine_chunks()
+        right = g.filter(pc.equal(g["__src"], 1))
         keep = pc.invert(
-            pc.is_in(left[key], value_set=right_keys.unique())
+            pc.is_in(_joined_key(left), value_set=_joined_key(right).unique())
         )
         return left.filter(keep).select(a_names)
 

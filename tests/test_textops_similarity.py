@@ -725,3 +725,34 @@ def test_ivf_build_atomic_publish_survives_interrupt(ray_session, tmp_path):
     # 3) rebuilding over a complete prior index also succeeds (guard allows)
     ivf_build(vecs, index, n_cells=4)
     assert (index / "centroids.npy").exists()
+
+
+def test_char_jaccard_matches_duckdb(ray_session):
+    """char_jaccard_pairs (the guarded O(n^2) oracle baseline, moved to
+    pytest-only coverage in r5's registry consolidation) == DuckDB
+    jaccard() distinct-character semantics."""
+    import duckdb
+    import itertools
+    import ray
+
+    texts = [
+        "abcdefg", "abcdefgh",          # high char overlap
+        "abcdefg",                      # exact dup
+        "zzzzyyyy", "qwerty",
+        "the quick brown fox", "the quick brown dog",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    from portuguese_pt_legal_ner_ray.stages.dedup import char_jaccard_pairs
+
+    got = char_jaccard_pairs(ds, threshold=0.6).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    want = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = duckdb.sql("SELECT jaccard(?, ?)",
+                       params=[texts[a], texts[b]]).fetchone()[0]
+        if j >= 0.6:
+            want.add((a, b))
+    assert want and got_pairs == want
