@@ -22,6 +22,11 @@ Mirrors the reference's subcommand CLI shape (reference src/cli.py:506-549,
 * ``export <out_dir> <jsonl_path>`` — write reference-format prediction
   records (one JSON object per paragraph, reference src/inference.py:160-166)
 * ``bench`` — delegate to bench.py's single run
+* ``ann <vectors.parquet> <id,id,...> [--index-dir DIR]`` — the DEFAULT
+  ANN entry (stages/similarity.ann_topk): index-first — builds/reuses the
+  persisted IVF index at ``--index-dir`` and queries it; omitting
+  ``--index-dir`` is the explicit one-shot fallback (full assignment pass
+  per call; slower than brute force at small query counts, BASELINE.md)
 * ``ann-build <vectors.parquet> <index_dir>`` — persist the
   cell-partitioned IVF index (stages/similarity.ivf_build)
 * ``ann-query <vectors.parquet> <index_dir> <id,id,...>`` — top-k from the
@@ -103,6 +108,30 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_ann(args: argparse.Namespace) -> int:
+    """Index-first ANN (stages/similarity.ann_topk): with ``--index-dir``
+    the persisted IVF index is built once and reused (queries read only
+    probed partitions — the default, recommended path); without it the
+    one-shot no-index fallback runs a full assignment pass per call."""
+    _ensure_ray()
+    from .sources.parquet import sized_read_parquet
+    from .stages.similarity import ann_topk, make_query_ref
+
+    vecs = sized_read_parquet(args.vectors, columns=[args.id_col, args.emb_col])
+    qref = make_query_ref(vecs, [int(q) for q in args.query_ids.split(",")],
+                          emb_col=args.emb_col, id_col=args.id_col)
+    out = ann_topk(vecs, qref, k=args.k, nprobe=args.nprobe,
+                   index_dir=args.index_dir, n_cells=args.n_cells,
+                   emb_col=args.emb_col, id_col=args.id_col)
+    if args.out:
+        out.write_parquet(args.out)
+        print(f"wrote top-{args.k} results to {args.out}")
+    else:
+        for row in out.take_all():  # <= n_queries * k rows by construction
+            print(json.dumps(row))
+    return 0
+
+
 def cmd_ann_build(args: argparse.Namespace) -> int:
     """Build the persisted cell-partitioned IVF index from a vector table."""
     _ensure_ray()
@@ -165,6 +194,21 @@ def main(argv: list[str] | None = None) -> int:
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)
+
+    an = sub.add_parser("ann")
+    an.add_argument("vectors")
+    an.add_argument("query_ids", help="comma-separated vector ids")
+    an.add_argument("--index-dir", default=None,
+                    help="persisted IVF index dir (built once, reused; "
+                         "RECOMMENDED — omitting it falls back to the "
+                         "one-shot full-scan-per-call path)")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--n-cells", type=int, default=128)
+    an.add_argument("--emb-col", default="embedding")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--out", default=None, help="parquet output dir (default: print)")
+    an.set_defaults(fn=cmd_ann)
 
     ab = sub.add_parser("ann-build")
     ab.add_argument("vectors")

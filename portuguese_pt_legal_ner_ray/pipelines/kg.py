@@ -46,9 +46,22 @@ GRAPH_TABLES = ("spans", "triples", "nodes", "edges")
 
 
 def _resolve_concurrency(cfg: PipelineConfig) -> int | tuple[int, int]:
-    """None -> autoscale the NER actor pool to the session's CPU count."""
+    """None -> autoscale the NER actor pool to the limiting resource.
+
+    CPU-only taggers scale to the session's CPU count. When
+    ``ner_ray_remote_args`` claims GPUs (the HFTagger deployment shape),
+    the pool ceiling is the cluster's GPU budget divided by the per-actor
+    claim instead — a CPU-sized ceiling would queue dozens of actors
+    waiting on GPUs they can never get, and Ray's autoscaling pool keeps
+    the pending-actor warning noise forever. See ARCHITECTURE.md "GPU
+    deployment recipe".
+    """
     if cfg.ner_concurrency is not None:
         return cfg.ner_concurrency
+    gpu_claim = float((cfg.ner_ray_remote_args or {}).get("num_gpus", 0) or 0)
+    if gpu_claim > 0:
+        gpus = float(ray.cluster_resources().get("GPU", 0))
+        return (1, max(1, int(gpus / gpu_claim)))
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return (1, max(2, cpus))
 

@@ -5,12 +5,19 @@
   numpy matmul against it, per-batch partial top-k keeps the shuffle tiny,
   and a final per-query reduce merges partials. Never materializes the
   corpus.
-* ``ivf_topk`` — the scale path: k-means-lite (deterministic seeded
-  centroids from the data itself) assigns each vector to a coarse cell;
-  queries probe only the ``nprobe`` nearest cells, so compute per query is
-  corpus_fraction × brute force. Same output contract; recall < 1 vs the
-  exact path by design — hash-checked against the sequential IVF mirror
-  (oracle_mirrors.py) plus a recall test vs brute force.
+* ``ann_topk`` — THE default ANN entry point, index-first: with an
+  ``index_dir`` it builds/reuses the persisted cell-partitioned IVF index
+  (``ivf_build``/``ivf_query``) so queries read ONLY probed partitions —
+  the 100-TB serving shape; without one it falls back to the one-shot
+  ``ivf_topk``.
+* ``ivf_topk`` — one-shot no-index fallback: k-means-lite (deterministic
+  seeded centroids from the data itself) assigns each vector to a coarse
+  cell; queries probe only the ``nprobe`` nearest cells, so compute per
+  query is corpus_fraction × brute force, BUT the assignment matmul is a
+  full-corpus pass paid on every call — measured slower than brute force
+  at small query counts (BASELINE.md). Same output contract; recall < 1
+  vs the exact path by design — hash-checked against the sequential IVF
+  mirror (oracle_mirrors.py) plus a recall test vs brute force.
 """
 
 from __future__ import annotations
@@ -576,3 +583,42 @@ def ivf_query(
         concurrency=_pool_size(),
     )
     return _topk_reduce(partials, k)
+
+
+def ann_topk(
+    vectors: Dataset,
+    queries_ref,
+    k: int = 10,
+    nprobe: int = 4,
+    index_dir=None,
+    n_cells: int = 128,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iters: int = 0,
+) -> Dataset:
+    """THE default ANN entry point — index-first (VERDICT r4 #2).
+
+    With ``index_dir`` (the scale path): reuse the persisted
+    cell-partitioned IVF index there, building it first if the directory
+    holds no complete index (``centroids.npy`` marks completeness;
+    :func:`ivf_build` publishes atomically, so a present marker means a
+    whole index). Queries then read ONLY the probed cell partitions —
+    per-query-set cost tracks ``nprobe / n_cells``, independent of corpus
+    size, and the build amortizes across query sets.
+
+    Without ``index_dir`` (explicit no-index fallback): the one-shot
+    :func:`ivf_topk`, which pays a full-corpus assignment matmul on every
+    call — measured SLOWER than brute force at small query counts
+    (BASELINE.md). Reach for it only when the corpus will be queried once.
+    """
+    from pathlib import Path
+
+    if index_dir is None:
+        return ivf_topk(vectors, queries_ref, k=k, n_cells=n_cells,
+                        nprobe=nprobe, emb_col=emb_col, id_col=id_col)
+    index = Path(index_dir)
+    if not (index / "centroids.npy").exists():
+        ivf_build(vectors, index, n_cells=n_cells, emb_col=emb_col,
+                  id_col=id_col, train_iters=train_iters)
+    return ivf_query(index, queries_ref, k=k, nprobe=nprobe,
+                     emb_col=emb_col, id_col=id_col)

@@ -206,3 +206,35 @@ def test_remote_args_excluded_from_resume_fingerprint(mini_run, tmp_path):
         if r["stage"] == "extract"
     }
     assert after == before, "placement-only config change recomputed partitions"
+
+
+def test_gpu_claim_sizes_actor_pool_to_gpu_budget(ray_session, monkeypatch):
+    """With ner_ray_remote_args={'num_gpus': g} and no explicit
+    ner_concurrency, the NER actor-pool ceiling is cluster_GPUs / g — not
+    the CPU count (which would queue unscheduleable actors forever). CPU
+    ceiling unchanged when no GPU claim (VERDICT r4 #8)."""
+    import ray as _ray
+
+    from portuguese_pt_legal_ner_ray.pipelines.kg import ner_map_batches_kwargs
+
+    real = _ray.cluster_resources()
+
+    def fake_resources():
+        return {**real, "CPU": 32.0, "GPU": 4.0}
+
+    monkeypatch.setattr(_ray, "cluster_resources", fake_resources)
+    # whole-GPU actors: 4 GPUs / 1 -> ceiling 4
+    kw = ner_map_batches_kwargs(
+        PipelineConfig(ner_ray_remote_args={"num_gpus": 1}))
+    assert kw["concurrency"] == (1, 4) and kw["num_gpus"] == 1
+    # fractional claims pack: 4 / 0.25 -> 16 actors sharing the 4 GPUs
+    kw = ner_map_batches_kwargs(
+        PipelineConfig(ner_ray_remote_args={"num_gpus": 0.25}))
+    assert kw["concurrency"] == (1, 16)
+    # no GPU claim -> CPU ceiling as before
+    kw = ner_map_batches_kwargs(PipelineConfig())
+    assert kw["concurrency"] == (1, 32)
+    # explicit ner_concurrency always wins
+    kw = ner_map_batches_kwargs(
+        PipelineConfig(ner_ray_remote_args={"num_gpus": 1}, ner_concurrency=2))
+    assert kw["concurrency"] == 2

@@ -756,3 +756,50 @@ def test_char_jaccard_matches_duckdb(ray_session):
         if j >= 0.6:
             want.add((a, b))
     assert want and got_pairs == want
+
+
+def test_ann_topk_routes_index_first(ray_session, tmp_path):
+    """ann_topk (the default ANN entry) with index_dir builds the persisted
+    index once, REUSES it on later calls (no rebuild), and at full probe
+    equals brute force; without index_dir it falls back to one-shot
+    ivf_topk (VERDICT r4 #2)."""
+    import numpy as np
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        ann_topk,
+        brute_force_topk,
+        ivf_topk,
+        make_query_ref,
+    )
+
+    rng = np.random.default_rng(17)
+    mat = rng.normal(size=(80, 6))
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    qref = make_query_ref(vecs, [0, 40])
+    key = ["query_id", "vec_id"]
+    index = tmp_path / "ann_default"
+
+    got = ann_topk(vecs, qref, k=5, nprobe=8, index_dir=index,
+                   n_cells=8).to_pandas()
+    exact = brute_force_topk(vecs, qref, k=5).to_pandas()
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True))
+
+    # second call must reuse, not rebuild: centroids file identity survives
+    sig = (index / "centroids.npy").stat().st_mtime_ns
+    again = ann_topk(vecs, qref, k=5, nprobe=8, index_dir=index,
+                     n_cells=8).to_pandas()
+    assert (index / "centroids.npy").stat().st_mtime_ns == sig
+    assert again.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True))
+
+    # no index_dir -> identical to the one-shot fallback
+    no_idx = ann_topk(vecs, qref, k=5, nprobe=2, n_cells=8).to_pandas()
+    one_shot = ivf_topk(vecs, qref, k=5, n_cells=8, nprobe=2).to_pandas()
+    assert no_idx.sort_values(key).reset_index(drop=True).equals(
+        one_shot.sort_values(key).reset_index(drop=True))
