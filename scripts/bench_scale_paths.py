@@ -15,9 +15,14 @@
    iteration, so a full converged run of the old path would take tens of
    minutes at this size, which is exactly the point).
 
+3. ``--edges-skew``: the edges ``grouped_count`` under adversarial key
+   skew (one exact triple / one hub entity at 40% of 5M rows) vs a uniform
+   baseline — the combiner + full-composite-key bucket hash should keep
+   the delta under 2x (VERDICT r4 #5; see bench_edges_skew docstring).
+
 Results are recorded in BASELINE.md. Owns its Ray session (script entry).
 
-    python scripts/bench_scale_paths.py --ivf --cc [--cpus 32]
+    python scripts/bench_scale_paths.py --ivf --cc --edges-skew [--cpus 32]
 """
 
 from __future__ import annotations
@@ -187,6 +192,75 @@ def bench_cc() -> dict:
             "nodes": 200_000, "components": len(set(want.values()))}
 
 
+def bench_edges_skew(n_rows: int = 5_000_000, hot_frac: float = 0.4) -> dict:
+    """Skewed-key evidence for the edges grouped_count (VERDICT r4 #5).
+
+    The edges stage is ``grouped_count(triples, [subj_id, pred, obj_id])``.
+    Two adversarial skews vs a uniform baseline, same row count:
+
+    * ``hot_dup`` — ONE exact triple occupies ``hot_frac`` of all rows (a
+      mega-popular fact). The per-block Arrow combiner collapses it to one
+      partial per block, so the exchange carries ~n_blocks rows for that
+      key regardless of its multiplicity.
+    * ``hot_entity`` — one SUBJECT occupies ``hot_frac`` of rows but with
+      distinct objects (a hub node). Groups stay distinct, and the bucket
+      hash runs over the FULL composite key, so the hub's groups spread
+      across all buckets — no hot bucket forms.
+
+    Neither skew should regress the phase >2x vs uniform; if it ever does,
+    salt the combiner key. Results recorded in BASELINE.md.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from portuguese_pt_legal_ner_ray.sources.parquet import sized_read_parquet
+    from portuguese_pt_legal_ner_ray.stages.shuffle import grouped_count
+
+    rng = np.random.default_rng(7)
+    n_entities = 100_000
+    preds = np.array(["cites", "amends", "mentions", "located_in"])
+
+    def make(variant: str) -> Path:
+        path = SHM / f"triples_{variant}_{n_rows}.parquet"
+        if path.exists():
+            return path
+        SHM.mkdir(parents=True, exist_ok=True)
+        subj = rng.integers(0, n_entities, n_rows)
+        obj = rng.integers(0, n_entities, n_rows)
+        pred = preds[rng.integers(0, len(preds), n_rows)]
+        n_hot = int(n_rows * hot_frac)
+        hot_rows = rng.choice(n_rows, n_hot, replace=False)
+        if variant == "hot_dup":
+            subj[hot_rows] = 0
+            obj[hot_rows] = 1
+            pred[hot_rows] = "cites"
+        elif variant == "hot_entity":
+            subj[hot_rows] = 0  # hub subject, objects stay distinct
+        tbl = pa.table({
+            "subj_id": pa.array(np.char.add("ORGANIZACAO|e", subj.astype(str))),
+            "pred": pa.array(pred),
+            "obj_id": pa.array(np.char.add("LEGISLACAO|e", obj.astype(str))),
+        })
+        pq.write_table(tbl, path)
+        return path
+
+    out: dict = {"rows": n_rows, "hot_frac": hot_frac}
+    for variant in ("uniform", "hot_dup", "hot_entity"):
+        path = make(variant)
+        t0 = time.time()
+        n_edges = grouped_count(
+            sized_read_parquet(str(path)),
+            ["subj_id", "pred", "obj_id"], alias="weight",
+        ).count()
+        out[variant] = {"sec": round(time.time() - t0, 2), "edges": n_edges}
+    base = out["uniform"]["sec"]
+    for variant in ("hot_dup", "hot_entity"):
+        out[variant]["vs_uniform"] = round(out[variant]["sec"] / base, 2)
+    return out
+
+
 def main():
     import json
 
@@ -205,6 +279,8 @@ def main():
         out["ivf_topk_512k"] = bench_ivf(cpus)
     if "--cc" in sys.argv:
         out["distributed_cc_200k"] = bench_cc()
+    if "--edges-skew" in sys.argv:
+        out["edges_skew_5m"] = bench_edges_skew()
     print(json.dumps(out))
     ray.shutdown()
 
