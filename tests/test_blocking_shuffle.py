@@ -509,3 +509,60 @@ def test_binned_quantiles_exact_vs_duckdb(ray_session):
     empty = ray.data.from_arrow(tbl.slice(0, 0))
     out = binned_quantiles(empty, "x", [0.5])
     assert len(out) == 1 and np.isnan(out["value"].iloc[0])
+
+
+def test_pytest_only_registry_drops_match_duckdb(ray_session):
+    """The three shape-redundant queries consolidated out of the 50-entry
+    gate registry in r5 (rel_parts_per_brand, docs_top10_longest-style
+    global sort+limit, lang_histogram) keep DuckDB parity here so their
+    semantics stay verified outside the gate."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from portuguese_pt_legal_ner_ray.sources.parquet import sized_read_parquet
+    from portuguese_pt_legal_ner_ray.stages import relational
+    from portuguese_pt_legal_ner_ray.stages.shuffle import strip_schema_metadata
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+
+    # rel_parts_per_brand: dimension-broadcast join + grouped count
+    got = (relational.parts_per_brand(sf).to_pandas()
+           .sort_values("p_brand").reset_index(drop=True))
+    want = con.sql(f"""
+        SELECT p.p_brand, count(*) AS n_lineitems
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/part.parquet') p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand ORDER BY p.p_brand""").df()
+    assert got["p_brand"].tolist() == want["p_brand"].tolist()
+    assert got["n_lineitems"].tolist() == want["n_lineitems"].tolist()
+
+    # docs_top10_longest shape: computed column -> global sort + limit
+    docs = sized_read_parquet(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"])
+    top = (docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_chars": pc.cast(pc.utf8_length(t["text"]),
+                                               pa.int64())}),
+        batch_format="pyarrow")
+        .sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+        .to_pandas())
+    want = con.sql(f"""
+        SELECT doc_id, length(text) AS n_chars
+        FROM read_parquet('{sf}/documents.parquet')
+        ORDER BY n_chars DESC, doc_id LIMIT 10""").df()
+    assert top["doc_id"].tolist() == want["doc_id"].tolist()
+
+    # lang_histogram shape: grouped count over a categorical column
+    langs = strip_schema_metadata(
+        sized_read_parquet(f"{sf}/documents.parquet", columns=["lang"]))
+    got = (langs.groupby("lang").count().to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    want = con.sql(f"""
+        SELECT lang, count(*) AS n
+        FROM read_parquet('{sf}/documents.parquet')
+        GROUP BY lang ORDER BY lang""").df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["count()"].tolist() == want["n"].tolist()
