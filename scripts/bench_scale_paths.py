@@ -19,6 +19,9 @@
    skew (one exact triple / one hub entity at 40% of 5M rows) vs a uniform
    baseline — the combiner + full-composite-key bucket hash should keep
    the delta under 2x (VERDICT r4 #5; see bench_edges_skew docstring).
+4. ``--ann-index``: persisted-index query set vs one-shot ivf_topk at the
+   same nprobe on 512k vectors (VERDICT r4 #2 done-criterion; see
+   bench_ann_index_vs_oneshot docstring for the small-table caveat).
 
 Results are recorded in BASELINE.md. Owns its Ray session (script entry).
 
@@ -192,6 +195,47 @@ def bench_cc() -> dict:
             "nodes": 200_000, "components": len(set(want.values()))}
 
 
+def bench_ann_index_vs_oneshot(cpus: int) -> dict:
+    """Indexed query set vs one-shot ivf_topk at the SAME nprobe (VERDICT
+    r4 #2 done-criterion). 512k x 64 vectors, 1024 queries, nprobe=4 of 64
+    cells: the one-shot path pays the full-corpus assignment matmul per
+    call; ivf_query reads only the 4 probed cell partitions. At the
+    sf0.1 embeddings table (2,000 vectors, one block) the index CANNOT
+    win — file-planning overhead exceeds a single-block scan, measured
+    and recorded honestly in BASELINE.md — the crossover needs a corpus
+    larger than one block, which this table provides.
+    """
+    import tempfile
+
+    from portuguese_pt_legal_ner_ray.sources.parquet import sized_read_parquet
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        ivf_build,
+        ivf_query,
+        ivf_topk,
+        make_query_ref,
+    )
+
+    path = ensure_vectors()
+    vecs = sized_read_parquet(str(path), columns=["vec_id", "embedding"])
+    qref = make_query_ref(vecs, list(range(1024)))
+    idx = tempfile.mkdtemp(prefix="ann_cmp512k_")
+    t0 = time.time()
+    ivf_build(vecs, idx, n_cells=64)
+    build = time.time() - t0
+    ivf_query(idx, qref, k=10, nprobe=4).count()  # warm the read path
+    t0 = time.time()
+    ivf_query(idx, qref, k=10, nprobe=4).count()
+    t_index = time.time() - t0
+    t0 = time.time()
+    ivf_topk(vecs, qref, k=10, n_cells=64, nprobe=4).count()
+    t_oneshot = time.time() - t0
+    return {"vectors": 512_000, "queries": 1024, "nprobe": 4, "n_cells": 64,
+            "build_sec": round(build, 2),
+            "indexed_query_sec": round(t_index, 2),
+            "one_shot_sec": round(t_oneshot, 2),
+            "speedup": round(t_oneshot / t_index, 2)}
+
+
 def bench_edges_skew(n_rows: int = 5_000_000, hot_frac: float = 0.4) -> dict:
     """Skewed-key evidence for the edges grouped_count (VERDICT r4 #5).
 
@@ -281,6 +325,8 @@ def main():
         out["distributed_cc_200k"] = bench_cc()
     if "--edges-skew" in sys.argv:
         out["edges_skew_5m"] = bench_edges_skew()
+    if "--ann-index" in sys.argv:
+        out["ann_index_vs_oneshot_512k"] = bench_ann_index_vs_oneshot(cpus)
     print(json.dumps(out))
     ray.shutdown()
 

@@ -497,11 +497,16 @@ def test_binned_quantiles_exact_vs_duckdb(ray_session):
         for q in qs
     }
     tbl = pa.table({"x": pa.array(v, pa.float64())})
-    for parts, bins, refine in [(1, 4096, 200_000), (7, 4096, 200_000),
-                                (7, 4, 10)]:
+    # last case forces BOTH the multi-level recursion AND the distributed
+    # grouped_agg pre-merge path (pre_merge_rows=0); results must be
+    # identical to the driver-merge path (all merge ops are order-free)
+    for parts, bins, refine, premerge in [
+            (1, 4096, 200_000, 50_000_000), (7, 4096, 200_000, 50_000_000),
+            (7, 4, 10, 50_000_000), (7, 4096, 200_000, 0)]:
         ds = ray.data.from_arrow(tbl).repartition(parts)
         got = binned_quantiles(ds, "x", qs, num_bins=bins,
-                               max_refine_rows=refine)
+                               max_refine_rows=refine,
+                               pre_merge_rows=premerge)
         for _, row in got.iterrows():
             assert row["value"] == want[row["q"]], (parts, bins, row["q"])
 
