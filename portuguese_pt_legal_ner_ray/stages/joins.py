@@ -5,9 +5,14 @@ the target pipeline adds broadcast lookups and a partitioned hash join).
   object store ONCE (``ray.put`` on the driver) and resolved once per task
   from the local object store, never re-shipped per batch.
 * ``hash_join`` — both-sides-large equi-join expressed as
-  union-with-source-tag → ``groupby(key).map_groups`` (an explicit
-  hash-partitioned join; the portable pattern from the Ray guide). Inner
-  join, pandas cross-merge within each key group.
+  union-with-source-tag → bucketed ``groupby(__bucket).map_groups`` (an
+  explicit hash-partitioned join; the portable pattern from the Ray
+  guide). Inner join, one pandas merge per bucket. Single-column or
+  composite (key list) keys — rows route by the hash of the key tuple.
+* ``hash_left_join`` — LEFT OUTER variant; per-bucket Arrow native join so
+  unmatched int64 payloads become typed nulls (never NaN-float-promoted).
+* ``hash_anti_join`` / ``hash_semi_join`` — SQL NOT EXISTS / EXISTS; the
+  probe side ships only per-batch-distinct key tuples.
 """
 
 from __future__ import annotations
@@ -264,6 +269,12 @@ def hash_anti_join(ds_a, ds_b, key, num_buckets: int = 64):
     resolved with one Arrow ``is_in`` mask over the joined key string: no
     pandas, no per-key work. Exact at any parallelism.
     """
+    return _semi_or_anti(ds_a, ds_b, key, num_buckets, keep_matching=False)
+
+
+def _semi_or_anti(ds_a, ds_b, key, num_buckets: int, keep_matching: bool):
+    """Shared kernel for :func:`hash_anti_join` (keep keys ABSENT from
+    ds_b) and :func:`hash_semi_join` (keep keys PRESENT in ds_b)."""
     import pyarrow.compute as pc
 
     from .shuffle import _SEP
@@ -313,9 +324,9 @@ def hash_anti_join(ds_a, ds_b, key, num_buckets: int = 64):
     def anti_bucket(g: pa.Table) -> pa.Table:
         left = g.filter(pc.equal(g["__src"], 0))
         right = g.filter(pc.equal(g["__src"], 1))
-        keep = pc.invert(
-            pc.is_in(_joined_key(left), value_set=_joined_key(right).unique())
-        )
+        keep = pc.is_in(_joined_key(left), value_set=_joined_key(right).unique())
+        if not keep_matching:
+            keep = pc.invert(keep)
         return left.filter(keep).select(a_names)
 
     return (
@@ -324,3 +335,88 @@ def hash_anti_join(ds_a, ds_b, key, num_buckets: int = 64):
         .groupby("__bucket")
         .map_groups(anti_bucket, batch_format="pyarrow")
     )
+
+
+def hash_left_join(ds_a, ds_b, key, num_buckets: int = 64):
+    """LEFT OUTER equi-join on ``key`` (single column or composite list):
+    every ``ds_a`` row survives, matched ``ds_b`` payloads attach, misses
+    get typed nulls.
+
+    Same bucketed exchange as :func:`hash_join`, but each bucket resolves
+    with Arrow's native ``Table.join(join_type="left outer")`` instead of
+    a pandas merge — pandas would float64-promote unmatched int64 payloads
+    (NaN), corrupting ids above 2^53; Arrow emits typed nulls directly.
+    """
+    import pyarrow.compute as pc
+
+    keys = _key_list(key)
+
+    def _fields(ds):
+        sch = ds.schema()
+        out = {}
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(np.dtype(t))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    fa, fb = _fields(ds_a), _fields(ds_b)
+    missing = [k for k in keys if k not in fa or k not in fb]
+    if missing:
+        raise ValueError(f"hash_left_join key columns missing from a side: {missing}")
+    a_cols = [c for c in fa if c not in keys]
+    b_cols = [c for c in fb if c not in keys]
+    overlap = set(a_cols) & set(b_cols)
+    if overlap:
+        raise ValueError(f"hash_left_join payload columns must be disjoint: {overlap}")
+    out_names = [*keys, *a_cols, *b_cols]
+
+    tagged_schema = pa.schema(
+        [(k, fa[k]) for k in keys] + [(c, fa[c]) for c in a_cols]
+        + [(c, fb[c]) for c in b_cols]
+        + [("__src", pa.int8()), ("__bucket", pa.int64())]
+    )
+
+    def tag(src: int, own_cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            buckets = _bucket_hash(t, keys, num_buckets)
+            cols = []
+            for field in tagged_schema:
+                if field.name == "__src":
+                    cols.append(pa.array(np.full(n, src, dtype=np.int8)))
+                elif field.name == "__bucket":
+                    cols.append(pa.array(buckets, pa.int64()))
+                elif field.name in keys or field.name in own_cols:
+                    cols.append(pc.cast(t[field.name], field.type))
+                else:
+                    cols.append(pa.nulls(n, field.type))
+            return pa.table(dict(zip(tagged_schema.names, cols)))
+
+        return f
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        left = g.filter(pc.equal(g["__src"], 0)).select([*keys, *a_cols])
+        right = g.filter(pc.equal(g["__src"], 1)).select([*keys, *b_cols])
+        out = left.combine_chunks().join(
+            right.combine_chunks(), keys=keys, join_type="left outer"
+        )
+        return out.select(out_names).replace_schema_metadata(None)
+
+    a_tagged = ds_a.map_batches(tag(0, a_cols), batch_format="pyarrow")
+    b_tagged = ds_b.map_batches(tag(1, b_cols), batch_format="pyarrow")
+    return a_tagged.union(b_tagged).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
+def hash_semi_join(ds_a, ds_b, key, num_buckets: int = 64):
+    """Rows of ``ds_a`` whose ``key`` (single or composite) appears at
+    least once in ``ds_b`` (SQL ``EXISTS`` / semi equi-join) — the
+    complement of :func:`hash_anti_join`, with the same probe-side
+    contract: ``ds_b`` ships only per-batch-distinct key tuples.
+    """
+    return _semi_or_anti(ds_a, ds_b, key, num_buckets, keep_matching=True)

@@ -571,3 +571,95 @@ def test_pytest_only_registry_drops_match_duckdb(ray_session):
         GROUP BY lang ORDER BY lang""").df()
     assert got["lang"].tolist() == want["lang"].tolist()
     assert got["count()"].tolist() == want["n"].tolist()
+
+
+def test_hash_left_join_matches_pandas(ray_session):
+    """Left outer join: every left row survives, unmatched right payloads
+    become TYPED NULLS (int64 stays int64 — no NaN float promote, ids
+    above 2^53 stay exact); composite keys route by the tuple."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import hash_left_join
+
+    rng = np.random.default_rng(31)
+    big = 2**60  # would corrupt under a float64 round-trip
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300),
+        "a": rng.integers(0, 9, 300),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(20, 60, 150),
+        "b": rng.integers(big, big + 1000, 150),
+    })
+    ds_a = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(5)
+    ds_b = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(3)
+    out = hash_left_join(ds_a, ds_b, key="k")
+    got_t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    assert got_t.schema.field("b").type == pa.int64()  # typed nulls, not float
+    got = (got_t.to_pandas()
+           .sort_values(["k", "a", "b"]).reset_index(drop=True))
+    want = (left.merge(right, on="k", how="left")
+            .sort_values(["k", "a", "b"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["a"].tolist() == want["a"].tolist()
+    gb, wb = got["b"].tolist(), want["b"].tolist()
+    for g_val, w_val in zip(gb, wb):
+        if pd.isna(w_val):
+            assert pd.isna(g_val)
+        else:
+            assert int(g_val) == int(w_val)  # exact above 2^53
+    assert want["b"].isna().any()  # fixture exercises the null path
+
+    # composite key: match requires the whole tuple
+    left2 = left.assign(k2=rng.integers(0, 3, 300))
+    right2 = right.assign(k2=rng.integers(0, 3, 150))
+    got2 = hash_left_join(
+        ray.data.from_arrow(pa.Table.from_pandas(left2, preserve_index=False)).repartition(4),
+        ray.data.from_arrow(pa.Table.from_pandas(right2, preserve_index=False)).repartition(2),
+        key=["k", "k2"],
+    ).to_pandas()
+    want2 = left2.merge(right2, on=["k", "k2"], how="left")
+    assert len(got2) == len(want2)
+    assert got2["b"].notna().sum() == want2["b"].notna().sum()
+
+
+def test_hash_semi_join_matches_pandas(ray_session):
+    """Semi join (SQL EXISTS): left rows whose key appears in the probe
+    side, duplicates on the left preserved, probe duplicates collapse;
+    exact complement of the anti join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.joins import (
+        hash_anti_join,
+        hash_semi_join,
+    )
+
+    rng = np.random.default_rng(41)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 400),
+        "val": rng.normal(size=400),
+    })
+    right = pd.DataFrame({"k": np.repeat(rng.integers(0, 50, 20), 3)})
+
+    def to_ds(df, parts):
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)).repartition(parts)
+
+    semi = (hash_semi_join(to_ds(left, 5), to_ds(right, 3), key="k")
+            .to_pandas().sort_values(["k", "val"]).reset_index(drop=True))
+    want = (left[left["k"].isin(right["k"])]
+            .sort_values(["k", "val"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(semi, want)
+    assert 0 < len(semi) < len(left)
+
+    # semi ∪ anti == left, disjoint
+    anti = hash_anti_join(to_ds(left, 5), to_ds(right, 3), key="k").to_pandas()
+    assert len(semi) + len(anti) == len(left)
