@@ -663,3 +663,46 @@ def test_hash_semi_join_matches_pandas(ray_session):
     # semi ∪ anti == left, disjoint
     anti = hash_anti_join(to_ds(left, 5), to_ds(right, 3), key="k").to_pandas()
     assert len(semi) + len(anti) == len(left)
+
+
+def test_grouped_binned_quantiles_exact_vs_duckdb(ray_session):
+    """grouped_binned_quantiles == DuckDB quantile_disc PER GROUP on a
+    continuous (mostly unique) value column — unbounded per-group value
+    cardinality, where grouped_quantiles' per-distinct-value exchange
+    degenerates. Covers: multi-group routing, a single-valued group, the
+    collect path, and the forced recursion path (tiny max_refine_rows)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.sketches import (
+        grouped_binned_quantiles,
+    )
+
+    rng = np.random.default_rng(55)
+    frames = []
+    for g, (n, scale) in enumerate([(3000, 10.0), (1200, 500.0), (800, 2.0)]):
+        frames.append(pd.DataFrame({
+            "grp": f"g{g}", "x": rng.lognormal(3, 1.2, n) * scale}))
+    frames.append(pd.DataFrame({"grp": "gsame", "x": np.full(50, 7.25)}))
+    df = pd.concat(frames, ignore_index=True)
+    qs = [0.1, 0.5, 0.9, 1.0]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = {}
+    for q in qs:
+        for grp, val in con.sql(
+                f"SELECT grp, quantile_disc(x, {q}) FROM t GROUP BY grp").fetchall():
+            want[(grp, q)] = val
+
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    for parts, refine in [(1, 200_000), (9, 200_000), (9, 100)]:
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = grouped_binned_quantiles(ds, ["grp"], "x", qs,
+                                       num_bins=64, max_refine_rows=refine)
+        assert len(got) == 4 * len(qs)
+        for _, row in got.iterrows():
+            assert row["value"] == want[(row["grp"], row["q"])], \
+                (parts, refine, row["grp"], row["q"])
