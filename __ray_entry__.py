@@ -299,6 +299,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).hexdigest()[:16]
         index_dir = Path("/tmp/kgray_ivf_cache") / sig
         if not (index_dir / "centroids.npy").exists():
+            if index_dir.exists():
+                # our own cache namespace: a sig-dir without the
+                # completeness marker is garbage (e.g. hand-copied) — clear
+                # it rather than let ivf_build's prior-index guard refuse it
+                import shutil
+
+                shutil.rmtree(index_dir)
             ivf_build(vecs, index_dir, n_cells=16)
         return ivf_query(index_dir, qref, k=10, nprobe=16)
 

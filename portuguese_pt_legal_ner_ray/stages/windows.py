@@ -212,3 +212,37 @@ def cumulative_window(events: Dataset, key_col: str = "user_id",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def lag_window(events: Dataset, key_col: str = "user_id",
+               order_cols: tuple[str, str] = ("ts", "event_id"),
+               value_col: str = "value", offset: int = 1,
+               alias: str = "lag_value") -> Dataset:
+    """Ordered analytic window: per-key LAG/LEAD, SQL ``LAG(value, offset)
+    OVER (PARTITION BY key ORDER BY ts, event_id)`` (negative ``offset``
+    gives LEAD). First/last rows of each key get nulls, as in SQL.
+
+    Same exchange as :func:`cumulative_window`: keys route by
+    ``hash(key) % buckets`` so each key's full history co-locates, then one
+    vectorized pandas UDF per bucket (sort + per-key ``shift``) serves
+    every key it holds — never one task per key. Deterministic at any
+    parallelism via the tie-break column in ``order_cols``.
+    """
+    from .shuffle import bucket_by
+
+    cols = [key_col, *order_cols, value_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bucket_by(t, [key_col])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        g[alias] = g.groupby(key_col, sort=False)[value_col].shift(offset)
+        return g[[*cols, alias]]
+
+    return (
+        events.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -803,3 +803,37 @@ def test_ann_topk_routes_index_first(ray_session, tmp_path):
     one_shot = ivf_topk(vecs, qref, k=5, n_cells=8, nprobe=2).to_pandas()
     assert no_idx.sort_values(key).reset_index(drop=True).equals(
         one_shot.sort_values(key).reset_index(drop=True))
+
+
+def test_lag_window_matches_pandas(ray_session):
+    """Per-key LAG/LEAD: SQL null semantics at key edges, deterministic
+    under same-ts ties (event_id tie-break), identical at any split."""
+    import pandas as pd
+    import ray
+
+    from portuguese_pt_legal_ner_ray.stages.windows import lag_window
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:00",  # tie, same user
+        "2024-01-01 11:00", "2024-01-01 09:00", "2024-01-01 12:00",
+    ])
+    events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([2, 1, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([10.0, 1.0, 5.0, 2.0, 3.0], pa.float64()),
+    }))
+    for parts in (1, 3):
+        ds = events if parts == 1 else events.repartition(parts)
+        got = (lag_window(ds).to_pandas()
+               .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True))
+        # user 1 order (ts, event_id): value 1.0 (eid1), 10.0 (eid2), 5.0
+        u1 = got[got["user_id"] == 1]["lag_value"].tolist()
+        assert pd.isna(u1[0]) and u1[1:] == [1.0, 10.0]
+        u2 = got[got["user_id"] == 2]["lag_value"].tolist()
+        assert pd.isna(u2[0]) and u2[1] == 2.0
+        # LEAD via negative offset
+        lead = (lag_window(ds, offset=-1, alias="next_value").to_pandas()
+                .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True))
+        l1 = lead[lead["user_id"] == 1]["next_value"].tolist()
+        assert l1[:2] == [10.0, 5.0] and pd.isna(l1[2])
