@@ -107,25 +107,34 @@ def brute_force_topk(
     return _topk_reduce(partials, k, exclude_self=exclude_self)
 
 
-def _topk_reduce(partials: Dataset, k: int, exclude_self: bool = True) -> Dataset:
+def _topk_reduce(partials: Dataset, k: int, exclude_self: bool = True,
+                 num_buckets: int = 64) -> Dataset:
     """Shared per-query final reduce over (query_id, vec_id, sim) partials:
-    top-k by (sim desc, vec_id asc), optionally dropping the self-hit."""
+    top-k by (sim desc, vec_id asc), optionally dropping the self-hit.
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        rows = sorted(
-            zip(group["sim"].to_pylist(), group["vec_id"].to_pylist()),
-            key=lambda r: (-r[0], r[1]),
-        )
-        out = [v for s, v in rows if not (exclude_self and v == qid)][:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(out), pa.int64()),
-                "vec_id": pa.array(out, pa.int64()),
-            }
-        )
+    Queries route by ``hash(query_id) % num_buckets`` and ONE vectorized
+    pandas pass per bucket (sort + ``groupby.head(k)``) finishes every
+    query it holds — never one Python call per query id, so the reduce
+    stays flat when a caller broadcasts millions of query vectors."""
+    import pandas as pd
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    from .shuffle import bucket_by
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bucket_by(t, ["query_id"], num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            df = df[df["query_id"] != df["vec_id"]]
+        df = df.sort_values(["query_id", "sim", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("query_id", sort=False).head(k)[["query_id", "vec_id"]]
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def make_query_ref(vectors: Dataset, query_ids: list[int],
