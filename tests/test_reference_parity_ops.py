@@ -365,3 +365,58 @@ def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
     key = ["query_id", "vec_id"]
     assert got.sort_values(key).reset_index(drop=True).equals(
         exact.sort_values(key).reset_index(drop=True))
+
+
+def test_cli_ann_index_first_dispatch(ray_session, tmp_path, capsys):
+    """The `ann` command (the default ANN entry from the CLI): with
+    --index-dir it builds the persisted index on first use, REUSES it on
+    the second call, and at full probe answers exactly like brute force;
+    without --index-dir it still answers (one-shot fallback)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from portuguese_pt_legal_ner_ray.cli import main
+    from portuguese_pt_legal_ner_ray.stages.similarity import (
+        brute_force_topk,
+        make_query_ref,
+    )
+
+    rng = np.random.default_rng(6)
+    mat = rng.normal(size=(90, 5))
+    vec_path = tmp_path / "vectors.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(90), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }), vec_path)
+    index = tmp_path / "idx"
+    out = tmp_path / "topk1"
+
+    assert main(["ann", str(vec_path), "3,11", "--index-dir", str(index),
+                 "--n-cells", "4", "--nprobe", "4", "--k", "5",
+                 "--out", str(out)]) == 0
+    assert (index / "centroids.npy").exists()  # index-first path built it
+    capsys.readouterr()
+    vecs = ray.data.read_parquet(str(vec_path))
+    exact = brute_force_topk(vecs, make_query_ref(vecs, [3, 11]), k=5).to_pandas()
+    key = ["query_id", "vec_id"]
+    got = ray.data.read_parquet(str(out)).to_pandas()
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True))
+
+    # second call reuses the index (marker mtime unchanged)
+    sig = (index / "centroids.npy").stat().st_mtime_ns
+    out2 = tmp_path / "topk2"
+    assert main(["ann", str(vec_path), "3,11", "--index-dir", str(index),
+                 "--n-cells", "4", "--nprobe", "4", "--k", "5",
+                 "--out", str(out2)]) == 0
+    assert (index / "centroids.npy").stat().st_mtime_ns == sig
+    capsys.readouterr()
+
+    # explicit no-index fallback still serves
+    assert main(["ann", str(vec_path), "3", "--n-cells", "4",
+                 "--k", "3"]) == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 3  # k rows for the single query
